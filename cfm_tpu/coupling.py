@@ -1,0 +1,231 @@
+"""Minibatch optimal-transport coupling, fully on-device.
+
+TPU-native re-design of the reference's ``OTPlanSampler`` (/root/reference/
+torchcfm/optimal_transport.py:11-303). Differences by design:
+
+- **No host round-trip.** The reference copies every cost matrix to the CPU
+  and runs POT's C++ network simplex (:87), then resamples indices with host
+  numpy RNG (:118). Here the plan solve (auction assignment / log-domain
+  Sinkhorn) and the categorical resampling (``jax.random``/Gumbel-top-k) are
+  jittable, so OT coupling fuses into the compiled train step.
+- **Explicit PRNG keys.** Every sampling method takes a key; determinism is a
+  property of the program, not of global RNG state.
+
+Method coverage matches the reference: "exact", "sinkhorn", "unbalanced",
+"partial" (optimal_transport.py:48-57), ``sample_map`` with and without
+replacement (:99-121), ``sample_plan`` (:123-145), order-preserving
+``sample_plan_exact_order`` (= ``sample_plan_with_scipy``, :147-182),
+``sample_plan_with_labels`` (:184-219), ``sample_trajectory`` (:221-251) and
+the ``wasserstein`` metric (:254-303).
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from .ops.assignment import auction_assignment, hungarian_assignment
+from .ops.cost import sq_euclidean_cost
+from .ops.sinkhorn import partial_wasserstein, sinkhorn, sinkhorn_unbalanced
+
+
+def _plan_from_perm(perm: jax.Array, n: int, m: int) -> jax.Array:
+    """Permutation -> doubly-stochastic plan matrix with uniform mass 1/n."""
+    plan = jnp.zeros((n, m), dtype=jnp.float32)
+    return plan.at[jnp.arange(n), perm].set(1.0 / n)
+
+
+class OTPlanSampler:
+    """Sample (x0, x1) index pairs from a minibatch OT plan, on device.
+
+    Parameters mirror the reference constructor (optimal_transport.py:15-61).
+    ``solver`` selects the exact-assignment backend: "auction" (on-device,
+    default) or "hungarian" (scipy host callback, correctness oracle).
+    """
+
+    def __init__(
+        self,
+        method: str,
+        reg: float = 0.05,
+        reg_m: Union[float, Tuple[float, float]] = 1.0,
+        normalize_cost: bool = False,
+        warn: bool = True,
+        solver: str = "auction",
+        num_iters: int = 1000,
+    ) -> None:
+        if method not in ("exact", "sinkhorn", "unbalanced", "partial"):
+            raise ValueError(f"Unknown method: {method}")
+        self.method = method
+        self.reg = reg
+        self.reg_m = reg_m
+        self.normalize_cost = normalize_cost
+        self.warn = warn
+        self.solver = solver
+        self.num_iters = num_iters
+
+    # -- plan construction ---------------------------------------------------
+
+    def get_map(self, x0: jax.Array, x1: jax.Array) -> jax.Array:
+        """OT plan (n, m) for squared-Euclidean cost between minibatches."""
+        n, m = x0.shape[0], x1.shape[0]
+        M = sq_euclidean_cost(x0, x1)
+        if self.normalize_cost:
+            M = M / jnp.maximum(jnp.max(M), 1e-30)
+        a = jnp.full((n,), 1.0 / n, jnp.float32)
+        b = jnp.full((m,), 1.0 / m, jnp.float32)
+        if self.method == "exact":
+            if n != m:
+                raise ValueError(
+                    "exact OT with unequal batch sizes is not supported on device; "
+                    "use method='sinkhorn' with a small reg instead"
+                )
+            perm = self._solve_assignment(M)
+            plan = _plan_from_perm(perm, n, m)
+        elif self.method == "sinkhorn":
+            plan = sinkhorn(a, b, M, self.reg, num_iters=self.num_iters)
+        elif self.method == "unbalanced":
+            plan = sinkhorn_unbalanced(a, b, M, self.reg, self.reg_m, num_iters=self.num_iters)
+        else:  # partial
+            plan = partial_wasserstein(a, b, M, self.reg, num_iters=self.num_iters)
+        # Degenerate-plan fallback mirrors the reference (:88-97), jit-safe.
+        total = jnp.sum(plan)
+        bad = jnp.logical_or(jnp.abs(total) < 1e-8, ~jnp.all(jnp.isfinite(plan)))
+        uniform = jnp.full_like(plan, 1.0 / (n * m))
+        return jnp.where(bad, uniform, plan)
+
+    def _solve_assignment(self, M: jax.Array) -> jax.Array:
+        if self.solver == "auction":
+            return auction_assignment(M)
+        if self.solver == "hungarian":
+            return hungarian_assignment(M)
+        raise ValueError(f"Unknown assignment solver: {self.solver}")
+
+    # -- sampling from a plan --------------------------------------------------
+
+    @staticmethod
+    def sample_map(
+        key: jax.Array, pi: jax.Array, batch_size: int, replace: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Draw (i, j) index pairs distributed according to the plan ``pi``.
+
+        With ``replace=False`` uses the Gumbel-top-k trick, which is exactly
+        weighted sampling without replacement — replacing the reference's host
+        ``np.random.choice`` (:118).
+        """
+        n, m = pi.shape
+        logits = jnp.log(jnp.maximum(pi.reshape(-1), 1e-38))
+        if replace:
+            choices = jax.random.categorical(key, logits, shape=(batch_size,))
+        else:
+            gumbel = jax.random.gumbel(key, logits.shape)
+            _, choices = jax.lax.top_k(logits + gumbel, batch_size)
+        i = (choices // m).astype(jnp.int32)
+        j = (choices % m).astype(jnp.int32)
+        return i, j
+
+    def sample_plan(
+        self, key: jax.Array, x0: jax.Array, x1: jax.Array, replace: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Re-pair the minibatch according to the OT plan (reference :123-145)."""
+        pi = self.get_map(x0, x1)
+        i, j = self.sample_map(key, pi, x0.shape[0], replace=replace)
+        return x0[i], x1[j]
+
+    def sample_plan_exact_order(
+        self, x0: jax.Array, x1: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Order-preserving exact coupling: x0 kept in order, x1 permuted.
+
+        Parity with ``sample_plan_with_scipy`` (reference :147-182): reduced
+        variance, preserves the whole batch when sizes match. Runs the
+        on-device assignment solver by default.
+        """
+        M = sq_euclidean_cost(x0, x1)
+        if self.normalize_cost:
+            M = M / jnp.maximum(jnp.max(M), 1e-30)
+        perm = self._solve_assignment(M)
+        return x0, x1[perm]
+
+    # Alias for drop-in familiarity with the reference API.
+    sample_plan_with_scipy = sample_plan_exact_order
+
+    def sample_plan_with_labels(
+        self,
+        key: jax.Array,
+        x0: jax.Array,
+        x1: jax.Array,
+        y0: Optional[jax.Array] = None,
+        y1: Optional[jax.Array] = None,
+        replace: bool = True,
+    ):
+        """Coupled resampling that carries labels along (reference :184-219)."""
+        pi = self.get_map(x0, x1)
+        i, j = self.sample_map(key, pi, x0.shape[0], replace=replace)
+        return (
+            x0[i],
+            x1[j],
+            y0[i] if y0 is not None else None,
+            y1[j] if y1 is not None else None,
+        )
+
+    def sample_trajectory(self, key: jax.Array, X: jax.Array) -> jax.Array:
+        """Chain per-timepoint-pair OT plans over a (bs, T, *dim) population.
+
+        Reference :221-251. The per-sample conditional categorical draw is
+        vectorized with vmap instead of a python loop over the batch.
+        """
+        bs, times = X.shape[0], X.shape[1]
+        indices = [jnp.arange(bs, dtype=jnp.int32)]
+        keys = jax.random.split(key, times - 1)
+        for t in range(times - 1):
+            pi = self.get_map(X[:, t], X[:, t + 1])
+            rows = pi[indices[-1]]  # (bs, m) conditional rows
+            logits = jnp.log(jnp.maximum(rows, 1e-38))
+            step_keys = jax.random.split(keys[t], bs)
+            nxt = jax.vmap(lambda k, l: jax.random.categorical(k, l))(step_keys, logits)
+            indices.append(nxt.astype(jnp.int32))
+        frames = [X[:, t][indices[t]] for t in range(times)]
+        return jnp.stack(frames, axis=1)
+
+
+def wasserstein(
+    x0: jax.Array,
+    x1: jax.Array,
+    method: Optional[str] = None,
+    reg: float = 0.05,
+    power: int = 2,
+    solver: str = "auction",
+    num_iters: int = 1000,
+) -> float:
+    """Wasserstein-1/2 distance between minibatches (reference :254-303).
+
+    "exact" (default) solves the assignment problem on device (uniform equal
+    marginals make EMD an assignment); "sinkhorn" uses entropic OT cost.
+    """
+    assert power in (1, 2)
+    n, m = x0.shape[0], x1.shape[0]
+    M = sq_euclidean_cost(x0, x1)
+    if power == 1:
+        M = jnp.sqrt(M + 1e-30)
+    if method == "exact" or method is None:
+        if n != m:
+            raise ValueError("exact wasserstein requires equal batch sizes on device")
+        if solver == "hungarian":
+            perm = hungarian_assignment(M)
+        else:
+            perm = auction_assignment(M)
+        ret = jnp.mean(jnp.take_along_axis(M, perm[:, None], axis=1))
+    elif method == "sinkhorn":
+        a = jnp.full((n,), 1.0 / n, jnp.float32)
+        b = jnp.full((m,), 1.0 / m, jnp.float32)
+        plan = sinkhorn(a, b, M, reg, num_iters=num_iters)
+        ret = jnp.sum(plan * M)
+    else:
+        raise ValueError(f"Unknown method: {method}")
+    if power == 2:
+        ret = jnp.sqrt(ret)
+    return ret

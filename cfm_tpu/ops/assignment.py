@@ -1,0 +1,161 @@
+"""Exact linear-assignment solvers for minibatch optimal transport.
+
+The reference computes exact OT plans by shipping the cost matrix to the host
+and running POT's C++ network simplex (/root/reference/torchcfm/
+optimal_transport.py:49,87) or scipy's Hungarian algorithm (:179). That
+per-batch device->host round-trip is the reference's main structural
+bottleneck (SURVEY.md section 3.1).
+
+Here the default solver is a fully vectorized Jacobi *auction algorithm*
+(Bertsekas 1988) with epsilon-scaling. Each bidding round is dense [n, n]
+vector work (row max / argmax / scatter) — exactly the shape of computation
+the TPU VPU is built for — inside a ``lax.while_loop``, so the whole solve
+stays on device and fuses into the jitted train step. For uniform marginals
+over equal-sized batches (the only case the reference ever exercises), the
+optimal transport plan is a permutation, so an assignment solve *is* the
+exact OT solve.
+
+A scipy Hungarian host-callback is provided as a correctness oracle and CPU
+fallback (`solve_assignment(..., method="hungarian")`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_INF = jnp.asarray(-jnp.inf, dtype=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_phases", "max_rounds_per_phase"))
+def auction_assignment(
+    cost: jax.Array,
+    *,
+    num_phases: int = 12,
+    eps_decay: float = 4.0,
+    max_rounds_per_phase: int = 0,
+) -> jax.Array:
+    """Solve min-cost perfect assignment on a square cost matrix, on device.
+
+    Returns ``perm`` (n,) int32 with person i assigned to object ``perm[i]``.
+    The result is within ``n * eps_final`` of the optimal cost where
+    ``eps_final = cost_range / 2 / eps_decay**(num_phases - 1)`` — with the
+    defaults, a relative gap below 1e-5 for n <= 4096, i.e. exact for every
+    non-degenerate minibatch coupling.
+    """
+    n = cost.shape[0]
+    assert cost.shape == (n, n), "auction_assignment requires a square cost matrix"
+    if n == 1:
+        return jnp.zeros((1,), dtype=jnp.int32)
+    benefit = -cost.astype(jnp.float32)
+    cost_range = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-12)
+    eps0 = cost_range / 2.0
+    if max_rounds_per_phase <= 0:
+        max_rounds_per_phase = 50 * n + 2000
+
+    obj_ids = jnp.arange(n, dtype=jnp.int32)
+
+    def bid_round(state):
+        person_to_obj, obj_to_person, prices, eps, rounds = state
+        unassigned = person_to_obj < 0
+        # Bidding: every unassigned person finds its best and second-best value.
+        values = benefit - prices[None, :]  # [n persons, n objects]
+        best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
+        best_v = jnp.max(values, axis=1)
+        masked = jnp.where(obj_ids[None, :] == best_j[:, None], _NEG_INF, values)
+        second_v = jnp.max(masked, axis=1)
+        bids = jnp.take(prices, best_j) + (best_v - second_v) + eps
+
+        # Assignment: each object accepts the highest bid among unassigned bidders.
+        bid_matrix = jnp.where(
+            unassigned[:, None] & (obj_ids[None, :] == best_j[:, None]),
+            bids[:, None],
+            _NEG_INF,
+        )
+        win_bid = jnp.max(bid_matrix, axis=0)
+        winner = jnp.argmax(bid_matrix, axis=0).astype(jnp.int32)
+        has_bid = win_bid > _NEG_INF
+
+        prices = jnp.where(has_bid, win_bid, prices)
+        # Previous owners of re-auctioned objects become unassigned.
+        prev_owner = obj_to_person
+        drop_idx = jnp.where(has_bid & (prev_owner >= 0), prev_owner, n)
+        person_to_obj = person_to_obj.at[drop_idx].set(-1, mode="drop")
+        # Winners take their objects.
+        winner_idx = jnp.where(has_bid, winner, n)
+        person_to_obj = person_to_obj.at[winner_idx].set(obj_ids, mode="drop")
+        obj_to_person = jnp.where(has_bid, winner, obj_to_person)
+        return person_to_obj, obj_to_person, prices, eps, rounds + 1
+
+    def phase_not_done(state):
+        person_to_obj, _, _, _, rounds = state
+        return jnp.logical_and(jnp.any(person_to_obj < 0), rounds < max_rounds_per_phase)
+
+    def run_phase(prices, eps):
+        init = (
+            jnp.full((n,), -1, dtype=jnp.int32),
+            jnp.full((n,), -1, dtype=jnp.int32),
+            prices,
+            eps,
+            jnp.zeros((), dtype=jnp.int32),
+        )
+        person_to_obj, _, prices, _, _ = jax.lax.while_loop(phase_not_done, bid_round, init)
+        return person_to_obj, prices
+
+    def scaling_step(carry, _):
+        prices, eps = carry
+        person_to_obj, prices = run_phase(prices, eps)
+        return (prices, eps / eps_decay), person_to_obj
+
+    (_, _), perms = jax.lax.scan(
+        scaling_step,
+        (jnp.zeros((n,), dtype=jnp.float32), eps0),
+        None,
+        length=num_phases,
+    )
+    return perms[-1]
+
+
+def _lsa_host(cost: np.ndarray) -> np.ndarray:
+    import scipy.optimize
+
+    _, col = scipy.optimize.linear_sum_assignment(cost)
+    return col.astype(np.int32)
+
+
+def hungarian_assignment(cost: jax.Array) -> jax.Array:
+    """Exact assignment via scipy's Hungarian algorithm on the host.
+
+    Correctness oracle mirroring the reference's order-preserving path
+    (optimal_transport.py:179). Incurs a device->host sync; prefer
+    :func:`auction_assignment` inside jitted training steps. On concrete
+    (non-traced) inputs the solve runs directly on host numpy — some TPU
+    runtimes (axon) do not support host callbacks at all.
+    """
+    n = cost.shape[0]
+    if not isinstance(cost, jax.core.Tracer):
+        return jnp.asarray(_lsa_host(np.asarray(cost)))
+    return jax.pure_callback(
+        _lsa_host,
+        jax.ShapeDtypeStruct((n,), jnp.int32),
+        cost,
+        vmap_method="sequential",
+    )
+
+
+def solve_assignment(cost: jax.Array, method: str = "auction") -> jax.Array:
+    """Dispatch to an assignment solver. ``method`` in {"auction", "hungarian"}."""
+    if method == "auction":
+        return auction_assignment(cost)
+    if method == "hungarian":
+        return hungarian_assignment(cost)
+    raise ValueError(f"Unknown assignment method: {method}")
+
+
+def assignment_cost(cost: jax.Array, perm: jax.Array) -> jax.Array:
+    """Total cost of an assignment (sum over i of cost[i, perm[i]])."""
+    return jnp.sum(jnp.take_along_axis(cost, perm[:, None], axis=1))

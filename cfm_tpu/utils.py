@@ -1,0 +1,51 @@
+"""Small shared utilities.
+
+TPU-native counterpart of the broadcasting helper at
+/root/reference/torchcfm/conditional_flow_matching.py:17-38 plus pytree helpers
+used across the framework (EMA, parameter counting).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Union
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+Scalar = Union[float, int]
+
+
+def pad_t_like_x(t: Union[Array, Scalar], x: Array) -> Union[Array, Scalar]:
+    """Reshape the time vector ``t`` (bs,) so it broadcasts against ``x`` (bs, *dim).
+
+    Python scalars pass through unchanged (they broadcast natively), mirroring the
+    reference semantics (conditional_flow_matching.py:36-38).
+    """
+    if isinstance(t, (float, int)):
+        return t
+    t = jnp.asarray(t)
+    return t.reshape(-1, *([1] * (x.ndim - 1)))
+
+
+def ema_update(ema_params: Any, new_params: Any, decay: float) -> Any:
+    """Exponential moving average over a parameter pytree.
+
+    ema <- decay * ema + (1 - decay) * new  (reference: examples/images/cifar10/
+    utils_cifar.py:76-82 does the same per-tensor lerp).
+    """
+    return jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p, ema_params, new_params)
+
+
+def count_params(params: Any) -> int:
+    """Total number of scalar parameters in a pytree."""
+    return sum(int(jnp.size(p)) for p in jax.tree.leaves(params))
+
+
+def flatten_batch(x: Array) -> Array:
+    """Flatten (bs, *dim) -> (bs, prod(dim)). No-op on 2-D inputs."""
+    if x.ndim > 2:
+        return x.reshape(x.shape[0], -1)
+    if x.ndim == 1:
+        return x[:, None]
+    return x
