@@ -5,7 +5,9 @@ Flat exports mirror the reference's public API surface
 names: the five matchers, the OT coupling sampler, and the wasserstein metric.
 """
 
+from . import data, eval, integrate, models, ops, train
 from .coupling import OTPlanSampler, wasserstein
+from .integrate import FlowSolver, odeint, sdeint
 from .paths import (
     ConditionalFlowMatcher,
     ExactOptimalTransportConditionalFlowMatcher,
@@ -25,5 +27,14 @@ __all__ = [
     "OTPlanSampler",
     "wasserstein",
     "pad_t_like_x",
+    "FlowSolver",
+    "odeint",
+    "sdeint",
+    "data",
+    "eval",
+    "integrate",
+    "models",
+    "ops",
+    "train",
     "__version__",
 ]

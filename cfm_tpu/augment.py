@@ -1,0 +1,219 @@
+"""Augmented-ODE regularization and CNF log-likelihood, the JAX way.
+
+TPU-native counterpart of /root/reference/runner/src/models/components/
+augmentation.py (RegularizationFunc family :15-103, autograd/hutch trace
+:106-121, CNFReg :124-134, AugmentationModule/Augmenter :137-263,
+AugmentedVectorField :266-303).
+
+Design: instead of mutating extra state columns onto a torch tensor, an
+augmented vector field is a pure function
+    aug_f(t, (x, aux)) -> (dx, d_aux)
+where ``aux`` is a dict of per-sample scalar accumulators (log-prob delta,
+L1/L2/Frobenius regularizers). It integrates with the same ``lax.scan``
+integrators as the plain field (cfm_tpu.integrate) — the trace/JVP work
+fuses into the compiled rollout.
+
+Trace estimators:
+- ``exact_trace``  — d JVPs with basis vectors (the reference's autograd_trace
+  :106-112, O(d) passes; fine for 2-D/tabular).
+- ``hutch_trace``  — Hutchinson estimator with one (or k) Rademacher probes
+  (:115-121), the scalable choice for images.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+VectorField = Callable[[Array, Array], Array]
+
+
+# --------------------------------------------------------------------------
+# Per-sample regularizer functions r(t, x, dx, f_t) -> (bs,)
+# --------------------------------------------------------------------------
+
+
+def l1_reg(t, x, dx):
+    """mean |dx| per sample (reference L1Reg :24-30)."""
+    return jnp.mean(jnp.abs(dx), axis=tuple(range(1, dx.ndim)))
+
+
+def l2_reg(t, x, dx):
+    """||dx||_2 per sample (L2Reg :33-39)."""
+    return jnp.sqrt(jnp.sum(jnp.square(dx), axis=tuple(range(1, dx.ndim))) + 1e-12)
+
+
+def squared_l2_reg(t, x, dx):
+    """||dx||_2^2 per sample (SquaredL2Reg :42-48)."""
+    return jnp.sum(jnp.square(dx), axis=tuple(range(1, dx.ndim)))
+
+
+REGULARIZERS = {
+    "l1": l1_reg,
+    "l2": l2_reg,
+    "squared_l2": squared_l2_reg,
+}
+
+
+# --------------------------------------------------------------------------
+# Divergence (trace of Jacobian) estimators
+# --------------------------------------------------------------------------
+
+
+def exact_trace(f_x: Callable[[Array], Array], x: Array) -> Array:
+    """Exact divergence of a per-sample field via d forward-mode JVPs.
+
+    ``f_x`` maps a single flattened sample (d,) -> (d,). Returns a scalar.
+    Forward-mode JVPs are the natural JAX replacement for the reference's
+    O(d) backward autograd loop (autograd_trace :106-112).
+    """
+    d = x.shape[0]
+    eye = jnp.eye(d, dtype=x.dtype)
+
+    def one(e):
+        _, jv = jax.jvp(f_x, (x,), (e,))
+        return jv @ e
+
+    return jnp.sum(jax.vmap(one)(eye))
+
+
+def hutch_trace(f_x: Callable[[Array], Array], x: Array, key: Array, k: int = 1) -> Array:
+    """Hutchinson divergence estimate with k Rademacher probes (:115-121)."""
+    d = x.shape[0]
+    eps = jax.random.rademacher(key, (k, d), dtype=x.dtype)
+
+    def one(e):
+        _, vjp = jax.vjp(f_x, x)
+        return vjp(e)[0] @ e
+
+    return jnp.mean(jax.vmap(one)(eps)) * 1.0
+
+
+def batched_divergence(
+    f: VectorField,
+    t: Array,
+    x: Array,
+    method: str = "exact",
+    key: Optional[Array] = None,
+    num_probes: int = 1,
+) -> Array:
+    """Divergence of f(t, .) at each sample of a batch. x: (bs, *dim) -> (bs,)."""
+    bs = x.shape[0]
+    flat = x.reshape(bs, -1)
+
+    def per_sample_field(xi):
+        return f(t, xi.reshape((1,) + x.shape[1:])).reshape(-1)
+
+    if method == "exact":
+        return jax.vmap(lambda xi: exact_trace(per_sample_field, xi))(flat)
+    if method == "hutch":
+        assert key is not None, "hutch_trace needs a PRNG key"
+        keys = jax.random.split(key, bs)
+        return jax.vmap(
+            lambda xi, ki: hutch_trace(per_sample_field, xi, ki, k=num_probes)
+        )(flat, keys)
+    raise ValueError(f"Unknown trace method: {method}")
+
+
+# --------------------------------------------------------------------------
+# Augmented integration
+# --------------------------------------------------------------------------
+
+
+class AugmentedState(NamedTuple):
+    x: Array
+    logp: Array          # (bs,) accumulated -∫ tr J dt (CNFReg :124-134)
+    regs: Dict[str, Array]  # name -> (bs,) accumulated regularizer integrals
+
+
+def make_augmented_field(
+    f: VectorField,
+    reg_names: Sequence[str] = (),
+    divergence: Optional[str] = None,
+    div_key: Optional[Array] = None,
+    num_probes: int = 1,
+):
+    """Wrap a drift into an augmented field over AugmentedState.
+
+    Counterpart of ``AugmentedVectorField`` (:266-303): the returned function
+    computes dx once and derives all requested per-sample reg rates plus the
+    instantaneous log-density rate -tr(J) from it.
+    """
+
+    def aug_f(t, state: AugmentedState):
+        dx = f(t, state.x)
+        d_regs = {name: REGULARIZERS[name](t, state.x, dx) for name in reg_names}
+        if divergence is not None:
+            div = batched_divergence(
+                f, t, state.x, method=divergence, key=div_key, num_probes=num_probes
+            )
+            d_logp = -div
+        else:
+            d_logp = jnp.zeros(state.x.shape[0], state.x.dtype)
+        return AugmentedState(x=dx, logp=d_logp, regs=d_regs)
+
+    return aug_f
+
+
+def augmented_odeint(
+    f: VectorField,
+    x0: Array,
+    ts: Array,
+    reg_names: Sequence[str] = (),
+    divergence: Optional[str] = None,
+    div_key: Optional[Array] = None,
+    method: str = "euler",
+    num_probes: int = 1,
+):
+    """Integrate state + regularizer accumulators along ``ts``.
+
+    Returns the final AugmentedState. ``logp`` holds ∫ -tr J dt over the path,
+    the CNF change-of-variables correction.
+    """
+    from .integrate import odeint
+
+    aug_f = make_augmented_field(
+        f, reg_names=reg_names, divergence=divergence, div_key=div_key,
+        num_probes=num_probes,
+    )
+    init = AugmentedState(
+        x=x0,
+        logp=jnp.zeros(x0.shape[0], x0.dtype),
+        regs={n: jnp.zeros(x0.shape[0], x0.dtype) for n in reg_names},
+    )
+    sol = odeint(aug_f, init, ts, method=method, return_trajectory=False)
+    return sol.final
+
+
+def standard_normal_logprob(z: Array) -> Array:
+    """log N(z; 0, I) summed over feature dims -> (bs,)."""
+    flat = z.reshape(z.shape[0], -1)
+    d = flat.shape[1]
+    return -0.5 * (d * jnp.log(2 * jnp.pi) + jnp.sum(jnp.square(flat), axis=1))
+
+
+def cnf_log_likelihood(
+    f: VectorField,
+    x1: Array,
+    n_steps: int = 100,
+    divergence: str = "exact",
+    key: Optional[Array] = None,
+    method: str = "euler",
+    num_probes: int = 1,
+) -> Array:
+    """Exact max-likelihood CNF evaluation (reference CNFLitModule,
+    cfm_module.py:1412-1455): integrate data x1 backward t:1->0 with the trace
+    augmentation; log p(x1) = log N(x0; 0, I) + ∫_0^1 tr J dt.
+    """
+    ts = jnp.linspace(1.0, 0.0, n_steps + 1)
+    final = augmented_odeint(
+        f, x1, ts, divergence=divergence, div_key=key, method=method,
+        num_probes=num_probes,
+    )
+    # Backward scan (dt < 0) accumulates final.logp = ∫_0^1 tr J dt, and the
+    # change of variables gives log p1(x1) = log p0(x0) − ∫_0^1 tr J dt.
+    return standard_normal_logprob(final.x) - final.logp

@@ -1,0 +1,207 @@
+"""Typed configuration system: dataclass presets + dotted CLI overrides.
+
+One config system covering both of the reference's tiers (SURVEY.md section 5
+"Config / flag system"): the Hydra group tree of the runner
+(/root/reference/runner/configs/train.yaml:1-51 — datamodule x model x
+trainer x experiment overlays with command-line overrides) and the absl-flags
+standalone scripts (examples/images/cifar10/train_cifar10.py:23-48).
+
+Usage:
+    cfg = load_config("cifar10_otcfm", ["optim.lr=1e-4", "trainer.total_steps=1000"])
+
+Overrides use dotted paths with literal-eval'd values — the Hydra override
+syntax, without the YAML indirection.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class ModelConfig:
+    kind: str = "mlp"                # mlp | unet
+    # MLP family
+    width: int = 64
+    hidden_dims: Tuple[int, ...] = (64, 64, 64)
+    activation: str = "selu"
+    # UNet family (reference recipe defaults, train_cifar10.py:93-99)
+    image_dim: Tuple[int, int, int] = (32, 32, 3)   # (H, W, C)
+    num_channels: int = 128
+    num_res_blocks: int = 2
+    channel_mult: Optional[Tuple[float, ...]] = None
+    num_heads: int = 4
+    num_head_channels: int = 64
+    attention_resolutions: str = "16"
+    dropout: float = 0.1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    class_cond: bool = False
+    num_classes: int = 10
+    use_checkpoint: bool = False
+    bf16: bool = True
+
+
+@dataclass
+class MatcherConfig:
+    kind: str = "otcfm"              # icfm | otcfm | fm | sbcfm | vpcfm
+    sigma: float = 0.0
+    ot_method: str = "exact"         # for sbcfm: exact | sinkhorn
+    score_head: bool = False         # [SF]2M joint flow+score training
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "moons"           # 2d generator name | cifar10 | mnist
+    source: str = "8gaussians"       # source distribution (2d) | "gaussian"
+    data_dir: str = "data"
+    batch_size: int = 256
+    synthetic_fallback: bool = True  # fake images when no dataset on disk
+    random_flip: bool = True
+
+
+@dataclass
+class OptimConfig:
+    lr: float = 2e-4
+    warmup_steps: int = 5000
+    grad_clip: float = 1.0
+    ema_decay: float = 0.9999
+    weight_decay: float = 0.0
+
+
+@dataclass
+class TrainerConfig:
+    total_steps: int = 400001        # reference budget train_cifar10.py:33-37
+    seed: int = 0
+    log_interval: int = 100
+    eval_interval: int = 5000
+    ckpt_dir: str = "checkpoints"
+    ckpt_interval: int = 20000       # reference save_step train_cifar10.py:46
+    resume: bool = True
+    data_parallel: bool = True
+
+
+@dataclass
+class EvalConfig:
+    ode_method: str = "dopri5"
+    ode_steps: int = 100             # for fixed-step generation
+    num_eval_samples: int = 2048
+    sde: bool = False
+
+
+@dataclass
+class Config:
+    name: str = "experiment"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+# --------------------------------------------------------------------------
+# Presets — the experiment overlays (runner/configs/experiment/*.yaml analogue)
+# --------------------------------------------------------------------------
+
+
+def _preset_2d(matcher: str, **kw) -> Config:
+    return Config(
+        name=f"2d_{matcher}",
+        model=ModelConfig(kind="mlp", width=64),
+        matcher=MatcherConfig(kind=matcher, sigma=kw.pop("sigma", 0.1), **kw),
+        data=DataConfig(dataset="moons", source="8gaussians", batch_size=256),
+        optim=OptimConfig(lr=2e-3, warmup_steps=0, ema_decay=0.99),
+        trainer=TrainerConfig(total_steps=5000, eval_interval=1000,
+                              ckpt_interval=5000, data_parallel=False),
+        eval=EvalConfig(ode_method="euler", num_eval_samples=2048),
+    )
+
+
+def _preset_cifar10(matcher: str) -> Config:
+    """The reference headline recipe (train_cifar10.py:23-48,93-104)."""
+    return Config(
+        name=f"cifar10_{matcher}",
+        model=ModelConfig(kind="unet", image_dim=(32, 32, 3), num_channels=128,
+                          num_res_blocks=2, channel_mult=(1, 2, 2, 2),
+                          num_heads=4, num_head_channels=64,
+                          attention_resolutions="16", dropout=0.1),
+        matcher=MatcherConfig(kind=matcher, sigma=0.0),
+        data=DataConfig(dataset="cifar10", source="gaussian", batch_size=128),
+        optim=OptimConfig(lr=2e-4, warmup_steps=5000, grad_clip=1.0,
+                          ema_decay=0.9999),
+        trainer=TrainerConfig(total_steps=400001, ckpt_interval=20000),
+        eval=EvalConfig(ode_method="dopri5"),
+    )
+
+
+def _preset_mnist(matcher: str, class_cond: bool = False) -> Config:
+    cfg = Config(
+        name=f"mnist_{matcher}" + ("_cond" if class_cond else ""),
+        model=ModelConfig(kind="unet", image_dim=(28, 28, 1), num_channels=32,
+                          num_res_blocks=1, num_heads=1, num_head_channels=-1,
+                          attention_resolutions="14", dropout=0.0,
+                          class_cond=class_cond),
+        matcher=MatcherConfig(kind=matcher, sigma=0.0),
+        data=DataConfig(dataset="mnist", source="gaussian", batch_size=128),
+        optim=OptimConfig(lr=2e-4, warmup_steps=500, ema_decay=0.999),
+        trainer=TrainerConfig(total_steps=20000, ckpt_interval=5000),
+        eval=EvalConfig(ode_method="euler"),
+    )
+    return cfg
+
+
+_PRESETS: Dict[str, Any] = {}
+for _m in ("icfm", "otcfm", "fm", "sbcfm", "vpcfm"):
+    _PRESETS[f"2d_{_m}"] = lambda m=_m: _preset_2d(m)
+    _PRESETS[f"cifar10_{_m}"] = lambda m=_m: _preset_cifar10(m)
+    _PRESETS[f"mnist_{_m}"] = lambda m=_m: _preset_mnist(m)
+_PRESETS["2d_sf2m"] = lambda: _preset_2d("sbcfm", sigma=1.0, score_head=True)
+_PRESETS["mnist_otcfm_cond"] = lambda: _preset_mnist("otcfm", class_cond=True)
+
+
+def available_presets() -> List[str]:
+    return sorted(_PRESETS)
+
+
+def load_config(preset: Optional[str] = None, overrides: Sequence[str] = ()) -> Config:
+    """Compose a preset with ``key.path=value`` overrides."""
+    cfg = _PRESETS[preset]() if preset else Config()
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"Override must be key=value, got {ov!r}")
+        path, raw = ov.split("=", 1)
+        _apply_override(cfg, path.strip(), raw.strip())
+    return cfg
+
+
+def _apply_override(cfg: Any, path: str, raw: str) -> None:
+    parts = path.split(".")
+    obj = cfg
+    for p in parts[:-1]:
+        if not hasattr(obj, p):
+            raise AttributeError(f"No config group {p!r} in {path!r}")
+        obj = getattr(obj, p)
+    leaf = parts[-1]
+    if not hasattr(obj, leaf):
+        raise AttributeError(f"No config field {leaf!r} in {path!r}")
+    current = getattr(obj, leaf)
+    try:
+        value = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = raw  # bare string
+    if current is not None and not isinstance(value, type(current)):
+        # Coerce numerics (e.g. "1e-4" -> float field) and tuples from lists.
+        if isinstance(current, float) and isinstance(value, int):
+            value = float(value)
+        elif isinstance(current, tuple) and isinstance(value, (list, tuple)):
+            value = tuple(value)
+        elif isinstance(current, bool) and isinstance(value, str):
+            value = value.lower() in ("1", "true", "yes")
+    setattr(obj, leaf, value)

@@ -28,7 +28,7 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from .ops.assignment import auction_assignment, hungarian_assignment
+from .ops.assignment import auction_assignment, hungarian_assignment, solve_assignment
 from .ops.cost import sq_euclidean_cost
 from .ops.sinkhorn import partial_wasserstein, sinkhorn, sinkhorn_unbalanced
 
@@ -54,7 +54,7 @@ class OTPlanSampler:
         reg_m: Union[float, Tuple[float, float]] = 1.0,
         normalize_cost: bool = False,
         warn: bool = True,
-        solver: str = "auction",
+        solver: str = "auto",
         num_iters: int = 1000,
     ) -> None:
         if method not in ("exact", "sinkhorn", "unbalanced", "partial"):
@@ -98,11 +98,7 @@ class OTPlanSampler:
         return jnp.where(bad, uniform, plan)
 
     def _solve_assignment(self, M: jax.Array) -> jax.Array:
-        if self.solver == "auction":
-            return auction_assignment(M)
-        if self.solver == "hungarian":
-            return hungarian_assignment(M)
-        raise ValueError(f"Unknown assignment solver: {self.solver}")
+        return solve_assignment(M, self.solver)
 
     # -- sampling from a plan --------------------------------------------------
 
@@ -117,10 +113,18 @@ class OTPlanSampler:
         ``np.random.choice`` (:118).
         """
         n, m = pi.shape
-        logits = jnp.log(jnp.maximum(pi.reshape(-1), 1e-38))
+        flat = jnp.maximum(pi.reshape(-1), 0.0)
         if replace:
-            choices = jax.random.categorical(key, logits, shape=(batch_size,))
+            # Inverse-CDF sampling: one cumsum over the flattened plan + bs
+            # binary searches — O(nm + bs log nm), instead of the (bs, nm)
+            # Gumbel tensor a categorical draw would materialize.
+            cdf = jnp.cumsum(flat)
+            total = cdf[-1]
+            u = jax.random.uniform(key, (batch_size,), minval=0.0, maxval=1.0) * total
+            choices = jnp.searchsorted(cdf, u, side="right")
+            choices = jnp.clip(choices, 0, n * m - 1)
         else:
+            logits = jnp.log(jnp.maximum(flat, 1e-38))
             gumbel = jax.random.gumbel(key, logits.shape)
             _, choices = jax.lax.top_k(logits + gumbel, batch_size)
         i = (choices // m).astype(jnp.int32)
@@ -198,7 +202,7 @@ def wasserstein(
     method: Optional[str] = None,
     reg: float = 0.05,
     power: int = 2,
-    solver: str = "auction",
+    solver: str = "auto",
     num_iters: int = 1000,
 ) -> float:
     """Wasserstein-1/2 distance between minibatches (reference :254-303).
@@ -214,10 +218,7 @@ def wasserstein(
     if method == "exact" or method is None:
         if n != m:
             raise ValueError("exact wasserstein requires equal batch sizes on device")
-        if solver == "hungarian":
-            perm = hungarian_assignment(M)
-        else:
-            perm = auction_assignment(M)
+        perm = solve_assignment(M, solver)
         ret = jnp.mean(jnp.take_along_axis(M, perm[:, None], axis=1))
     elif method == "sinkhorn":
         a = jnp.full((n,), 1.0 / n, jnp.float32)

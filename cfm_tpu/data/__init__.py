@@ -1,0 +1,31 @@
+"""Data: 2-D toy generators, image pipelines, trajectory datasets."""
+
+from .toy import (
+    eight_gaussians,
+    gaussian_mixture,
+    moons,
+    pinwheel,
+    sample_8gaussians,
+    sample_moons,
+    checkerboard,
+    circles,
+    spirals,
+    swissroll,
+    scurve,
+    two_dim_data,
+)
+
+__all__ = [
+    "eight_gaussians",
+    "gaussian_mixture",
+    "moons",
+    "pinwheel",
+    "sample_8gaussians",
+    "sample_moons",
+    "checkerboard",
+    "circles",
+    "spirals",
+    "swissroll",
+    "scurve",
+    "two_dim_data",
+]

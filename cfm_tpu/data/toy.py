@@ -1,0 +1,157 @@
+"""2-D toy distributions, pure JAX (keyed, jittable, device-resident).
+
+Replaces the reference's host-side generators:
+- ``eight_normal_sample`` / ``sample_8gaussians`` / ``sample_moons``
+  (/root/reference/torchcfm/utils.py:11-38 — 8 gaussians at radius*sqrt(2)
+  scale 5, var 0.1; torchdyn moons scaled x3 - 1)
+- the DSB-compatible 2-D suite ``data_distrib``
+  (/root/reference/runner/src/datamodules/components/two_dim.py:12-104 —
+  scurve/swiss/moon/circle/checker/pinwheel/8gaussians/mixture)
+- legacy ``sample_data`` generators (generators2d.py:13-183).
+
+Every generator is ``sample(key, n) -> (n, 2)`` — explicit PRNG, no global
+state, runs on device so data generation fuses with the train step.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def eight_gaussians(key: Array, n: int, scale: float = 5.0, var: float = 0.1) -> Array:
+    """Mixture of 8 unit-circle Gaussians, scaled (torchcfm/utils.py:11-31)."""
+    k1, k2 = jax.random.split(key)
+    angles = jnp.arange(8) * (2 * math.pi / 8)
+    centers = scale * jnp.stack(
+        [jnp.sqrt(2.0) * jnp.cos(angles), jnp.sqrt(2.0) * jnp.sin(angles)], axis=-1
+    ) / 2.0
+    comp = jax.random.randint(k1, (n,), 0, 8)
+    noise = jax.random.normal(k2, (n, 2)) * math.sqrt(var)
+    return centers[comp] + noise
+
+
+sample_8gaussians = eight_gaussians
+
+
+def moons(key: Array, n: int, noise: float = 0.05) -> Array:
+    """Two interleaved half-moons, unit scale (sklearn make_moons layout)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    upper = jax.random.bernoulli(k1, 0.5, (n,))
+    theta = jax.random.uniform(k2, (n,), minval=0.0, maxval=math.pi)
+    x = jnp.where(upper, jnp.cos(theta), 1.0 - jnp.cos(theta))
+    y = jnp.where(upper, jnp.sin(theta), 0.5 - jnp.sin(theta))
+    pts = jnp.stack([x, y], axis=-1)
+    return pts + noise * jax.random.normal(k3, (n, 2))
+
+
+def sample_moons(key: Array, n: int, noise: float = 0.2) -> Array:
+    """Reference scaling: moons * 3 - 1 (torchcfm/utils.py:34-38)."""
+    return moons(key, n, noise=noise / 3.0) * 3.0 - 1.0
+
+
+def pinwheel(key: Array, n: int, n_arms: int = 5) -> Array:
+    """Pinwheel of rotated Gaussian blades (generators2d.py pinwheel)."""
+    k1, k2 = jax.random.split(key)
+    rate = 0.25
+    arm = jax.random.randint(k1, (n,), 0, n_arms)
+    feats = jax.random.normal(k2, (n, 2)) * jnp.array([0.3, 0.05]) + jnp.array([1.0, 0.0])
+    angles = arm * (2 * math.pi / n_arms) + rate * jnp.exp(feats[:, 0])
+    c, s = jnp.cos(angles), jnp.sin(angles)
+    x = c * feats[:, 0] - s * feats[:, 1]
+    y = s * feats[:, 0] + c * feats[:, 1]
+    return 2.0 * jnp.stack([x, y], axis=-1)
+
+
+def checkerboard(key: Array, n: int, scale: float = 4.0) -> Array:
+    """Checkerboard density on [-scale, scale]^2 (generators2d.py checkerboard)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    x1 = jax.random.uniform(k1, (n,)) * scale - scale / 2
+    x2_ = jax.random.uniform(k2, (n,)) - jax.random.randint(k3, (n,), 0, 2) * 2
+    x2 = x2_ + jnp.floor(x1) % 2
+    return jnp.stack([x1, x2], axis=-1) * 2.0
+
+
+def circles(key: Array, n: int, noise: float = 0.08) -> Array:
+    """Two concentric circles (sklearn make_circles layout, scaled x3)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    inner = jax.random.bernoulli(k1, 0.5, (n,))
+    r = jnp.where(inner, 0.5, 1.0)
+    theta = jax.random.uniform(k2, (n,), minval=0.0, maxval=2 * math.pi)
+    pts = jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+    return 3.0 * (pts + noise * jax.random.normal(k3, (n, 2)))
+
+
+def spirals(key: Array, n: int) -> Array:
+    """Two interleaved Archimedean spirals (generators2d.py 2spirals)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    t = jnp.sqrt(jax.random.uniform(k1, (n,))) * 540 * (2 * math.pi) / 360
+    sign = jnp.where(jax.random.bernoulli(k2, 0.5, (n,)), 1.0, -1.0)
+    dx = -jnp.cos(t) * t / (3 * math.pi)
+    dy = jnp.sin(t) * t / (3 * math.pi)
+    pts = jnp.stack([sign * dx, sign * dy], axis=-1) * 3.0
+    return pts + 0.1 * jax.random.normal(k3, (n, 2))
+
+
+def swissroll(key: Array, n: int, noise: float = 0.05) -> Array:
+    """2-D projection of the swiss roll (two_dim.py swiss scaling /5 * 2)."""
+    k1, k2 = jax.random.split(key)
+    t = 1.5 * math.pi * (1 + 2 * jax.random.uniform(k1, (n,)))
+    pts = jnp.stack([t * jnp.cos(t), t * jnp.sin(t)], axis=-1) / 5.0
+    return pts + noise * jax.random.normal(k2, (n, 2))
+
+
+def scurve(key: Array, n: int, noise: float = 0.05) -> Array:
+    """2-D S-curve (two_dim.py scurve: (x, z) of sklearn make_s_curve)."""
+    k1, k2 = jax.random.split(key)
+    t = 3 * math.pi * (jax.random.uniform(k1, (n,)) - 0.5)
+    x = jnp.sin(t)
+    z = jnp.sign(t) * (jnp.cos(t) - 1.0)
+    pts = jnp.stack([x, z], axis=-1)
+    return 2.0 * (pts + noise * jax.random.normal(k2, (n, 2)))
+
+
+def gaussian_mixture(
+    key: Array, n: int, means: Array | None = None, var: float = 0.1
+) -> Array:
+    """Generic isotropic Gaussian mixture with uniform weights."""
+    if means is None:
+        means = jnp.array([[-2.0, 0.0], [2.0, 0.0]])
+    k1, k2 = jax.random.split(key)
+    comp = jax.random.randint(k1, (n,), 0, means.shape[0])
+    return means[comp] + math.sqrt(var) * jax.random.normal(k2, (n, 2))
+
+
+def gaussian(key: Array, n: int, std: float = 1.0) -> Array:
+    return std * jax.random.normal(key, (n, 2))
+
+
+_REGISTRY: Dict[str, Callable[[Array, int], Array]] = {
+    "8gaussians": eight_gaussians,
+    "moons": sample_moons,
+    "moon": sample_moons,
+    "pinwheel": pinwheel,
+    "checkerboard": checkerboard,
+    "checker": checkerboard,
+    "circles": circles,
+    "circle": circles,
+    "2spirals": spirals,
+    "swiss": swissroll,
+    "swissroll": swissroll,
+    "scurve": scurve,
+    "mixture": gaussian_mixture,
+    "gaussian": gaussian,
+}
+
+
+def two_dim_data(name: str) -> Callable[[Array, int], Array]:
+    """Look up a generator by name (parity with two_dim.py ``data_distrib``)."""
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"Unknown 2D dataset: {name!r}; have {sorted(_REGISTRY)}")

@@ -1,0 +1,438 @@
+"""Guided-diffusion UNet, re-designed TPU-first in flax.
+
+Functional re-implementation of the reference's vendored OpenAI UNet
+(/root/reference/torchcfm/models/unet/unet.py:369-632 ``UNetModel``,
+:858-924 ``UNetModelWrapper``; layer helpers torchcfm/models/unet/nn.py).
+Same capability surface — sinusoidal timestep embedding, class conditioning,
+ResBlocks with optional FiLM scale-shift norm, QKV self-attention at chosen
+resolutions, learned up/downsampling, zero-initialized output convs, gradient
+checkpointing — but the implementation is TPU-native, not a translation:
+
+- **NHWC layout.** Images are (N, H, W, C) end to end: the layout XLA:TPU
+  convolutions are fastest in. (The reference is NCHW throughout.)
+- **bf16 compute.** ``dtype=jnp.bfloat16`` runs convs/attention on the MXU in
+  bf16 with fp32 parameters and fp32 GroupNorm — replacing the reference's
+  entire fp16 master-param machinery (fp16_util.py:1-216) with two dtype
+  arguments; no loss scaling is needed in bf16.
+- **remat, not autograd.Function.** ``use_checkpoint=True`` wraps each
+  ResBlock/Attention in ``nn.remat`` (= jax.checkpoint), the XLA-native form
+  of the reference's manual CheckpointFunction (nn.py:108-153).
+- **Attention** over the <=16x16=256 spatial tokens is a plain fused QKV
+  einsum — XLA fuses softmax(QK^T)V at this size; no flash kernel needed.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def timestep_embedding(timesteps: Array, dim: int, max_period: float = 10000.0) -> Array:
+    """Sinusoidal timestep embeddings (reference nn.py ``timestep_embedding``).
+
+    timesteps: (N,) float array (CFM uses t in [0, 1] directly).
+    Returns (N, dim) fp32 embeddings.
+    """
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in float32 regardless of activation dtype.
+
+    Parity with the reference's ``GroupNorm32`` (nn.py:20-22): normalization
+    statistics in fp32 keep bf16 torsos stable.
+    """
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        groups = min(self.num_groups, c)
+        while c % groups:  # largest group count <= num_groups dividing c
+            groups -= 1
+        out = nn.GroupNorm(num_groups=groups, dtype=jnp.float32, param_dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        return out.astype(orig_dtype)
+
+
+def _zero_conv(features: int, kernel: Tuple[int, int], dtype) -> nn.Conv:
+    """3x3 conv with zero-initialized kernel+bias (reference ``zero_module``)."""
+    return nn.Conv(
+        features,
+        kernel,
+        padding="SAME",
+        kernel_init=nn.initializers.zeros,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+    )
+
+
+class Upsample(nn.Module):
+    """2x nearest-neighbour upsample + optional 3x3 conv (reference :74-96)."""
+
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        x = jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+        if self.use_conv:
+            x = nn.Conv(
+                self.out_channels or c, (3, 3), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv or 2x2 average pool (reference :99-127)."""
+
+    use_conv: bool
+    out_channels: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        if self.use_conv:
+            return nn.Conv(
+                self.out_channels or c, (3, 3), strides=(2, 2), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(x)
+        assert (self.out_channels or c) == c
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """Residual block with timestep-embedding conditioning (reference :130-234).
+
+    ``use_scale_shift_norm`` switches additive conditioning (h + emb) to FiLM:
+    h = norm(h) * (1 + scale) + shift.
+    ``up``/``down`` resample both the residual branch and the skip.
+    """
+
+    out_channels: Optional[int] = None
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, emb: Array, train: bool = False) -> Array:
+        c_in = x.shape[-1]
+        c_out = self.out_channels or c_in
+
+        h = nn.silu(GroupNorm32()(x))
+        if self.up:
+            h = Upsample(False, dtype=self.dtype)(h)
+            x = Upsample(False, dtype=self.dtype)(x)
+        elif self.down:
+            h = Downsample(False, dtype=self.dtype)(h)
+            x = Downsample(False, dtype=self.dtype)(x)
+        h = nn.Conv(c_out, (3, 3), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(h)
+
+        emb_width = 2 * c_out if self.use_scale_shift_norm else c_out
+        emb_out = nn.Dense(emb_width, dtype=self.dtype, param_dtype=jnp.float32)(
+            nn.silu(emb)
+        )[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32()(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out
+            h = nn.silu(GroupNorm32()(h))
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = _zero_conv(c_out, (3, 3), self.dtype)(h)
+
+        if c_out == c_in:
+            skip = x
+        else:
+            skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, param_dtype=jnp.float32)(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened H*W tokens (reference :237-366).
+
+    One fused QKV projection; heads from ``num_heads`` or fixed
+    ``num_head_channels``; zero-initialized output projection.
+    """
+
+    num_heads: int = 1
+    num_head_channels: int = -1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert c % self.num_head_channels == 0, (
+                f"channels {c} not divisible by num_head_channels {self.num_head_channels}"
+            )
+            heads = c // self.num_head_channels
+        head_dim = c // heads
+
+        tokens = GroupNorm32()(x).reshape(n, h * w, c)
+        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32)(tokens)
+        q, k, v = jnp.split(qkv.reshape(n, h * w, 3, heads, head_dim), 3, axis=2)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # (n, s, heads, hd)
+
+        scale = 1.0 / math.sqrt(head_dim)
+        logits = jnp.einsum(
+            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("nhqk,nkhd->nqhd", weights, v).reshape(n, h * w, c)
+        out = nn.Dense(
+            c,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(out)
+        return x + out.reshape(n, h, w, c)
+
+
+class UNetModel(nn.Module):
+    """The full UNet with attention and timestep embedding (reference :369-632).
+
+    Input/output are NHWC: x (N, H, W, in_channels) -> (N, H, W, out_channels).
+    ``attention_resolutions`` holds *downsample factors* (e.g. (2,) means
+    attention where the feature map is at 1/2 resolution), matching the
+    reference's ``ds`` bookkeeping after the wrapper's res->ds conversion.
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int] = ()
+    dropout: float = 0.0
+    channel_mult: Sequence[float] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    use_checkpoint: bool = False
+    num_heads: int = 1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: Array, x: Array, y: Optional[Array] = None, *, train: bool = False) -> Array:
+        assert (y is not None) == (self.num_classes is not None), (
+            "must specify y iff the model is class-conditional"
+        )
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t = jnp.full((x.shape[0],), t)
+
+        Res = nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
+        Attn = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
+        heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+
+        time_embed_dim = self.model_channels * 4
+        emb = timestep_embedding(t, self.model_channels)
+        emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32)(emb)
+        emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32)(nn.silu(emb))
+        if self.num_classes is not None:
+            emb = emb + nn.Embed(self.num_classes, time_embed_dim, param_dtype=jnp.float32)(y)
+
+        in_dtype = x.dtype
+        h = x.astype(self.dtype)
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(h)
+
+        # Down path. hs collects skip activations exactly like the reference.
+        # Every block gets an explicit stable name so checkpoints are
+        # interchangeable between use_checkpoint=True/False (nn.remat would
+        # otherwise rename the scope).
+        hs = [h]
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = int(mult * self.model_channels)
+                h = Res(
+                    out_channels=ch,
+                    dropout=self.dropout,
+                    use_scale_shift_norm=self.use_scale_shift_norm,
+                    dtype=self.dtype,
+                    name=f"down{level}_res{i}",
+                )(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = Attn(
+                        num_heads=self.num_heads,
+                        num_head_channels=self.num_head_channels,
+                        dtype=self.dtype,
+                        name=f"down{level}_attn{i}",
+                    )(h)
+                hs.append(h)
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = Res(
+                        out_channels=ch,
+                        dropout=self.dropout,
+                        use_scale_shift_norm=self.use_scale_shift_norm,
+                        down=True,
+                        dtype=self.dtype,
+                        name=f"down{level}_downres",
+                    )(h, emb, train)
+                else:
+                    h = Downsample(self.conv_resample, out_channels=ch,
+                                   dtype=self.dtype, name=f"down{level}_down")(h)
+                hs.append(h)
+                ds *= 2
+
+        # Middle.
+        h = Res(
+            dropout=self.dropout,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dtype=self.dtype,
+            name="mid_res0",
+        )(h, emb, train)
+        h = Attn(
+            num_heads=self.num_heads,
+            num_head_channels=self.num_head_channels,
+            dtype=self.dtype,
+            name="mid_attn",
+        )(h)
+        h = Res(
+            dropout=self.dropout,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dtype=self.dtype,
+            name="mid_res1",
+        )(h, emb, train)
+
+        # Up path with skip concatenation on the channel axis.
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                ch = int(mult * self.model_channels)
+                h = Res(
+                    out_channels=ch,
+                    dropout=self.dropout,
+                    use_scale_shift_norm=self.use_scale_shift_norm,
+                    dtype=self.dtype,
+                    name=f"up{level}_res{i}",
+                )(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = Attn(
+                        num_heads=heads_up,
+                        num_head_channels=self.num_head_channels,
+                        dtype=self.dtype,
+                        name=f"up{level}_attn{i}",
+                    )(h)
+                if level and i == self.num_res_blocks:
+                    if self.resblock_updown:
+                        h = Res(
+                            out_channels=ch,
+                            dropout=self.dropout,
+                            use_scale_shift_norm=self.use_scale_shift_norm,
+                            up=True,
+                            dtype=self.dtype,
+                            name=f"up{level}_upres",
+                        )(h, emb, train)
+                    else:
+                        h = Upsample(self.conv_resample, out_channels=ch,
+                                     dtype=self.dtype, name=f"up{level}_up")(h)
+                    ds //= 2
+
+        h = nn.silu(GroupNorm32()(h.astype(in_dtype)))
+        return _zero_conv(self.out_channels, (3, 3), jnp.float32)(h)
+
+
+_DEFAULT_CHANNEL_MULT = {
+    512: (0.5, 1, 1, 2, 2, 4, 4),
+    256: (1, 1, 2, 2, 4, 4),
+    128: (1, 1, 2, 3, 4),
+    64: (1, 2, 3, 4),
+    32: (1, 2, 2, 2),
+    28: (1, 2, 2),
+}
+
+NUM_CLASSES = 1000
+
+
+def UNetModelWrapper(
+    dim: Tuple[int, int, int],
+    num_channels: int,
+    num_res_blocks: int,
+    channel_mult: Optional[Sequence[float]] = None,
+    learn_sigma: bool = False,
+    class_cond: bool = False,
+    num_classes: int = NUM_CLASSES,
+    use_checkpoint: bool = False,
+    attention_resolutions: str = "16",
+    num_heads: int = 1,
+    num_head_channels: int = -1,
+    num_heads_upsample: int = -1,
+    use_scale_shift_norm: bool = False,
+    dropout: float = 0.0,
+    resblock_updown: bool = False,
+    dtype: jnp.dtype = jnp.float32,
+) -> UNetModel:
+    """Convenience constructor mirroring the reference wrapper (unet.py:858-924).
+
+    ``dim`` is NHWC-style ``(H, W, C)`` — the TPU layout — unlike the
+    reference's ``(C, H, W)``; 3-tuples with a leading channel count of 1 or 3
+    are auto-detected and accepted for drop-in familiarity.
+    ``attention_resolutions`` is a comma-separated string of *feature map
+    sizes* (e.g. "16" on 32x32 images = attention at downsample factor 2).
+    """
+    if len(dim) != 3:
+        raise ValueError(f"dim must be (H, W, C), got {dim}")
+    if dim[0] in (1, 3) and dim[-1] not in (1, 3):
+        dim = (dim[1], dim[2], dim[0])  # (C, H, W) given; convert
+    image_size, in_channels = dim[0], dim[2]
+
+    if channel_mult is None:
+        try:
+            channel_mult = _DEFAULT_CHANNEL_MULT[image_size]
+        except KeyError:
+            raise ValueError(f"unsupported image size: {image_size}")
+
+    attention_ds = tuple(
+        image_size // int(res) for res in str(attention_resolutions).split(",")
+    )
+
+    return UNetModel(
+        in_channels=in_channels,
+        model_channels=num_channels,
+        out_channels=in_channels if not learn_sigma else in_channels * 2,
+        num_res_blocks=num_res_blocks,
+        attention_resolutions=attention_ds,
+        dropout=dropout,
+        channel_mult=tuple(channel_mult),
+        num_classes=num_classes if class_cond else None,
+        use_checkpoint=use_checkpoint,
+        num_heads=num_heads,
+        num_head_channels=num_head_channels,
+        num_heads_upsample=num_heads_upsample,
+        use_scale_shift_norm=use_scale_shift_norm,
+        resblock_updown=resblock_updown,
+        dtype=dtype,
+    )

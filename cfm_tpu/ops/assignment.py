@@ -31,13 +31,13 @@ import numpy as np
 _NEG_INF = jnp.asarray(-jnp.inf, dtype=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_phases", "max_rounds_per_phase"))
+@functools.partial(jax.jit, static_argnames=("num_phases", "max_rounds"))
 def auction_assignment(
     cost: jax.Array,
     *,
     num_phases: int = 12,
     eps_decay: float = 4.0,
-    max_rounds_per_phase: int = 0,
+    max_rounds: int = 0,
 ) -> jax.Array:
     """Solve min-cost perfect assignment on a square cost matrix, on device.
 
@@ -46,6 +46,12 @@ def auction_assignment(
     ``eps_final = cost_range / 2 / eps_decay**(num_phases - 1)`` — with the
     defaults, a relative gap below 1e-5 for n <= 4096, i.e. exact for every
     non-degenerate minibatch coupling.
+
+    Structured as ONE flat ``lax.while_loop`` whose carry holds the current
+    eps: when a phase converges (all persons assigned) the loop resets the
+    assignment, keeps the learned prices (the eps-scaling warm start), and
+    divides eps — rather than a scan-of-while-loops, which XLA:TPU compiles
+    far more slowly. Each bidding round is dense [n, n] VPU work.
     """
     n = cost.shape[0]
     assert cost.shape == (n, n), "auction_assignment requires a square cost matrix"
@@ -54,15 +60,18 @@ def auction_assignment(
     benefit = -cost.astype(jnp.float32)
     cost_range = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-12)
     eps0 = cost_range / 2.0
-    if max_rounds_per_phase <= 0:
-        max_rounds_per_phase = 50 * n + 2000
+    eps_final = eps0 / (eps_decay ** (num_phases - 1))
+    if max_rounds <= 0:
+        max_rounds = 200 * n + 20000
 
     obj_ids = jnp.arange(n, dtype=jnp.int32)
+    unassigned_init = jnp.full((n,), -1, dtype=jnp.int32)
 
-    def bid_round(state):
+    def body(state):
         person_to_obj, obj_to_person, prices, eps, rounds = state
         unassigned = person_to_obj < 0
-        # Bidding: every unassigned person finds its best and second-best value.
+        # Bidding: every unassigned person finds its best and second-best value
+        # (max + masked re-max: two fused VPU passes).
         values = benefit - prices[None, :]  # [n persons, n objects]
         best_j = jnp.argmax(values, axis=1).astype(jnp.int32)
         best_v = jnp.max(values, axis=1)
@@ -89,41 +98,37 @@ def auction_assignment(
         winner_idx = jnp.where(has_bid, winner, n)
         person_to_obj = person_to_obj.at[winner_idx].set(obj_ids, mode="drop")
         obj_to_person = jnp.where(has_bid, winner, obj_to_person)
+
+        # Phase transition: converged at this eps but not yet at eps_final ->
+        # decay eps, reset the assignment, keep prices (warm start).
+        done_phase = jnp.all(person_to_obj >= 0)
+        advance = jnp.logical_and(done_phase, eps > eps_final)
+        person_to_obj = jnp.where(advance, unassigned_init, person_to_obj)
+        obj_to_person = jnp.where(advance, unassigned_init, obj_to_person)
+        eps = jnp.where(advance, eps / eps_decay, eps)
         return person_to_obj, obj_to_person, prices, eps, rounds + 1
 
-    def phase_not_done(state):
+    def not_done(state):
         person_to_obj, _, _, _, rounds = state
-        return jnp.logical_and(jnp.any(person_to_obj < 0), rounds < max_rounds_per_phase)
-
-    def run_phase(prices, eps):
-        init = (
-            jnp.full((n,), -1, dtype=jnp.int32),
-            jnp.full((n,), -1, dtype=jnp.int32),
-            prices,
-            eps,
-            jnp.zeros((), dtype=jnp.int32),
+        return jnp.logical_and(
+            jnp.any(person_to_obj < 0), rounds < max_rounds
         )
-        person_to_obj, _, prices, _, _ = jax.lax.while_loop(phase_not_done, bid_round, init)
-        return person_to_obj, prices
 
-    def scaling_step(carry, _):
-        prices, eps = carry
-        person_to_obj, prices = run_phase(prices, eps)
-        return (prices, eps / eps_decay), person_to_obj
-
-    (_, _), perms = jax.lax.scan(
-        scaling_step,
-        (jnp.zeros((n,), dtype=jnp.float32), eps0),
-        None,
-        length=num_phases,
+    init = (
+        unassigned_init,
+        unassigned_init,
+        jnp.zeros((n,), jnp.float32),
+        eps0,
+        jnp.zeros((), jnp.int32),
     )
-    return perms[-1]
+    person_to_obj, _, _, _, _ = jax.lax.while_loop(not_done, body, init)
+    return person_to_obj
 
 
 def _lsa_host(cost: np.ndarray) -> np.ndarray:
-    import scipy.optimize
+    from .native import lap_solve
 
-    _, col = scipy.optimize.linear_sum_assignment(cost)
+    col, _ = lap_solve(np.asarray(cost, np.float64))
     return col.astype(np.int32)
 
 
@@ -147,8 +152,22 @@ def hungarian_assignment(cost: jax.Array) -> jax.Array:
     )
 
 
-def solve_assignment(cost: jax.Array, method: str = "auction") -> jax.Array:
-    """Dispatch to an assignment solver. ``method`` in {"auction", "hungarian"}."""
+def resolve_solver(method: str = "auto") -> str:
+    """Resolve "auto" to the right backend for the current platform.
+
+    TPU/GPU: the on-device auction kernel (no host sync, fuses into jitted
+    steps; axon TPU runtimes don't support host callbacks at all). CPU: the
+    native C++ JV solver via callback — a 256-point solve is ~1 ms on host vs
+    ~1 s of while_loop dispatch overhead for the auction on XLA:CPU.
+    """
+    if method != "auto":
+        return method
+    return "hungarian" if jax.default_backend() == "cpu" else "auction"
+
+
+def solve_assignment(cost: jax.Array, method: str = "auto") -> jax.Array:
+    """Dispatch to an assignment solver: "auto" | "auction" | "hungarian"."""
+    method = resolve_solver(method)
     if method == "auction":
         return auction_assignment(cost)
     if method == "hungarian":

@@ -144,7 +144,7 @@ class ExactOptimalTransportConditionalFlowMatcher(_CoupledMixin, ConditionalFlow
     assignment) so the full training step stays inside one XLA program.
     """
 
-    def __init__(self, sigma: Union[float, int] = 0.0, solver: str = "auction"):
+    def __init__(self, sigma: Union[float, int] = 0.0, solver: str = "auto"):
         super().__init__(sigma)
         self.ot_sampler = OTPlanSampler(method="exact", solver=solver)
 
@@ -180,7 +180,7 @@ class SchrodingerBridgeConditionalFlowMatcher(_CoupledMixin, ConditionalFlowMatc
         self,
         sigma: Union[float, int] = 1.0,
         ot_method: str = "exact",
-        solver: str = "auction",
+        solver: str = "auto",
     ):
         if sigma <= 0:
             raise ValueError(f"Sigma must be strictly positive, got {sigma}.")

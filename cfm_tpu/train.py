@@ -1,0 +1,197 @@
+"""Training: jitted CFM train step, optimizer recipe, EMA, data-parallel mesh.
+
+TPU-native counterpart of the reference training loops
+(/root/reference/examples/images/cifar10/train_cifar10.py:54-170 and
+train_cifar10_ddp.py:62-215). The entire step — minibatch OT coupling, path
+sampling, UNet fwd/bwd, gradient all-reduce, Adam + warmup + clip, EMA — is
+ONE compiled XLA program. Data parallelism is a ``jax.sharding`` NamedSharding
+over a ("data",) mesh: the psum over ICI replaces DDP's NCCL ring all-reduce
+(utils_cifar.py:15-39), and sharded batches replace DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .utils import ema_update
+
+Array = jax.Array
+
+
+def warmup_lr_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
+    """Linear warmup then constant — the reference's ``warmup_lr`` lambda
+    (train_cifar10.py:58-59: min(step, warmup) / warmup)."""
+
+    def schedule(step):
+        if warmup_steps <= 0:
+            return base_lr
+        return base_lr * jnp.minimum(step + 1.0, float(warmup_steps)) / float(warmup_steps)
+
+    return schedule
+
+
+def make_optimizer(
+    lr: float = 2e-4,
+    warmup_steps: int = 5000,
+    grad_clip: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    weight_decay: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam + linear warmup + global-norm clip — the CIFAR-10 recipe
+    (train_cifar10.py:100-104, 146-151)."""
+    tx = [optax.clip_by_global_norm(grad_clip)] if grad_clip else []
+    if weight_decay:
+        tx.append(optax.adamw(warmup_lr_schedule(lr, warmup_steps), b1=b1, b2=b2,
+                              weight_decay=weight_decay))
+    else:
+        tx.append(optax.adam(warmup_lr_schedule(lr, warmup_steps), b1=b1, b2=b2))
+    return optax.chain(*tx)
+
+
+class TrainState(NamedTuple):
+    """Everything checkpointed: {params, ema_params, opt_state, step} — the
+    same payload as the reference's torch.save dict (train_cifar10.py:157-166)."""
+
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    step: Array
+
+
+def init_train_state(params: Any, optimizer: optax.GradientTransformation) -> TrainState:
+    # ema starts as a COPY: params and ema_params must not alias, or buffer
+    # donation of the state would donate the same buffer twice.
+    return TrainState(
+        params=params,
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_train_step(
+    matcher,
+    apply_fn: Callable[..., Array],
+    optimizer: optax.GradientTransformation,
+    ema_decay: float = 0.9999,
+    class_conditional: bool = False,
+    score_apply_fn: Optional[Callable[..., Array]] = None,
+    data_axis: Optional[str] = None,
+) -> Callable:
+    """Build the jittable CFM train step.
+
+    step(state, key, x0, x1[, y0, y1]) -> (state, metrics)
+
+    - ``matcher``: any of the five flow matchers (cfm_tpu.paths); its
+      coupling (incl. exact OT) traces into the step.
+    - ``apply_fn(params, t, xt[, y])``: the vector-field model.
+    - ``score_apply_fn``: optional score head — adds the [SF]2M score loss
+      mean((lambda_t * s + eps)^2) (reference SF2M_tutorial.ipynb,
+      SURVEY.md section 3.5); ``state.params`` must then be a dict
+      {"flow": ..., "score": ...}.
+    - ``data_axis``: name of the mesh axis when called under shard_map; under
+      plain jit + NamedSharding, XLA inserts the gradient all-reduce itself
+      and this should stay None.
+    """
+
+    use_score = score_apply_fn is not None
+
+    def loss_fn(params, key, x0, x1, y0, y1):
+        if class_conditional:
+            t, xt, ut, y0_, y1_, eps = matcher.guided_sample_location_and_conditional_flow(
+                key, x0, x1, y0=y0, y1=y1, return_noise=True
+            )
+            cond = y1_
+        else:
+            t, xt, ut, eps = matcher.sample_location_and_conditional_flow(
+                key, x0, x1, return_noise=True
+            )
+            cond = None
+        flow_params = params["flow"] if use_score else params
+        vt = (
+            apply_fn(flow_params, t, xt, cond)
+            if cond is not None
+            else apply_fn(flow_params, t, xt)
+        )
+        flow_loss = jnp.mean(jnp.square(vt - ut))
+        metrics = {"loss": flow_loss, "flow_loss": flow_loss}
+        if use_score:
+            lambda_t = matcher.compute_lambda(t)
+            st = (
+                score_apply_fn(params["score"], t, xt, cond)
+                if cond is not None
+                else score_apply_fn(params["score"], t, xt)
+            )
+            lam = lambda_t.reshape(-1, *([1] * (st.ndim - 1)))
+            score_loss = jnp.mean(jnp.square(lam * st + eps))
+            metrics["score_loss"] = score_loss
+            metrics["loss"] = flow_loss + score_loss
+        return metrics["loss"], metrics
+
+    def train_step(state: TrainState, key: Array, x0: Array, x1: Array,
+                   y0: Optional[Array] = None, y1: Optional[Array] = None):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, x0, x1, y0, y1
+        )
+        if data_axis is not None:
+            grads = jax.lax.pmean(grads, data_axis)
+            metrics = jax.lax.pmean(metrics, data_axis)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, ema_decay)
+        new_state = TrainState(params, ema_params, opt_state, state.step + 1)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+# --------------------------------------------------------------------------
+# Data-parallel sharding helpers
+# --------------------------------------------------------------------------
+
+
+def make_data_parallel_step(
+    train_step: Callable, mesh: jax.sharding.Mesh, data_axis: str = "data"
+) -> Callable:
+    """jit the train step with batch inputs sharded over the data axis.
+
+    The returned function has the same signature; parameters/opt state are
+    replicated, batches are split on axis 0 across devices, and XLA inserts
+    the gradient psum over ICI — the reference's DDP all-reduce
+    (train_cifar10_ddp.py:124-125), compiler-scheduled.
+    """
+    replicated = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    batch_sharded = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(data_axis)
+    )
+
+    def shard_batch(x):
+        return jax.device_put(x, batch_sharded) if x is not None else None
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(replicated, replicated, batch_sharded, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def step(state, key, x0, x1):
+        return jitted(state, key, shard_batch(x0), shard_batch(x1))
+
+    return step
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> jax.sharding.Mesh:
+    """1-D device mesh over all (or the first n) local devices."""
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    import numpy as np
+
+    return jax.sharding.Mesh(np.array(devs), (axis,))

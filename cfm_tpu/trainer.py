@@ -1,0 +1,290 @@
+"""Experiment harness: config -> model/matcher/data -> train/eval loop.
+
+The thin-consumer counterpart of the reference's Lightning harness
+(/root/reference/runner/src/train.py:49-141 and the v2 module
+runner/src/models/runner.py:16-173): the harness only wires config-selected
+pieces of the library together — the matcher/coupling/solver stay library
+code, exactly the separation the reference's own v1->v2 migration was moving
+toward (SURVEY.md section 7 design stance).
+
+Features: seeding, data-parallel mesh, train loop with metric logging (CSV +
+stdout), periodic eval (2-moons distances / image grids), orbax
+checkpoint/resume of {params, ema, opt_state, step}.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import CheckpointManager
+from .config import Config
+from .coupling import wasserstein
+from .data import two_dim_data
+from .data.images import infinite_batches, load_cifar10, load_mnist, normalize_images, random_hflip
+from .integrate import FlowSolver, odeint, vector_field_from_model
+from .models import MLP, UNetModelWrapper
+from .paths import (
+    ConditionalFlowMatcher,
+    ExactOptimalTransportConditionalFlowMatcher,
+    SchrodingerBridgeConditionalFlowMatcher,
+    TargetConditionalFlowMatcher,
+    VariancePreservingConditionalFlowMatcher,
+)
+from .train import (
+    TrainState,
+    init_train_state,
+    make_data_parallel_step,
+    make_mesh,
+    make_optimizer,
+    make_train_step,
+)
+
+Array = jax.Array
+
+
+def build_matcher(cfg: Config):
+    kind, sigma = cfg.matcher.kind, cfg.matcher.sigma
+    if kind == "icfm":
+        return ConditionalFlowMatcher(sigma=sigma)
+    if kind == "otcfm":
+        return ExactOptimalTransportConditionalFlowMatcher(sigma=sigma)
+    if kind == "fm":
+        return TargetConditionalFlowMatcher(sigma=sigma)
+    if kind == "sbcfm":
+        return SchrodingerBridgeConditionalFlowMatcher(
+            sigma=sigma if sigma > 0 else 1.0, ot_method=cfg.matcher.ot_method
+        )
+    if kind == "vpcfm":
+        return VariancePreservingConditionalFlowMatcher(sigma=sigma)
+    raise ValueError(f"Unknown matcher kind: {kind}")
+
+
+def build_model(cfg: Config):
+    m = cfg.model
+    if m.kind == "mlp":
+        dim = 2 if cfg.data.dataset in _2D_SETS else int(np.prod(m.image_dim))
+        return MLP(dim=dim, w=m.width)
+    if m.kind == "unet":
+        return UNetModelWrapper(
+            dim=m.image_dim,
+            num_channels=m.num_channels,
+            num_res_blocks=m.num_res_blocks,
+            channel_mult=m.channel_mult,
+            num_heads=m.num_heads,
+            num_head_channels=m.num_head_channels,
+            attention_resolutions=m.attention_resolutions,
+            dropout=m.dropout,
+            use_scale_shift_norm=m.use_scale_shift_norm,
+            resblock_updown=m.resblock_updown,
+            class_cond=m.class_cond,
+            num_classes=m.num_classes,
+            use_checkpoint=m.use_checkpoint,
+            dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
+        )
+    raise ValueError(f"Unknown model kind: {m.kind}")
+
+
+_2D_SETS = {"moons", "moon", "8gaussians", "pinwheel", "checkerboard", "checker",
+            "circles", "circle", "2spirals", "swiss", "swissroll", "scurve",
+            "mixture", "gaussian"}
+
+
+class MetricLogger:
+    """CSV + stdout metric logging (the reference's csv logger role,
+    runner/configs/logger/csv.yaml)."""
+
+    def __init__(self, log_dir: str, name: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}_metrics.csv")
+        self._writer = None
+        self._file = None
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        if self._writer is None:
+            self._file = open(self.path, "a", newline="")
+            self._writer = csv.DictWriter(self._file, fieldnames=list(row))
+            if self._file.tell() == 0:
+                self._writer.writeheader()
+        self._writer.writerow(row)
+        self._file.flush()
+
+    def close(self):
+        if self._file:
+            self._file.close()
+
+
+class Trainer:
+    """Config-driven training: the L5 entry point of the framework."""
+
+    def __init__(self, cfg: Config, log_dir: str = "logs"):
+        self.cfg = cfg
+        self.is_image = cfg.data.dataset in ("cifar10", "mnist")
+        self.matcher = build_matcher(cfg)
+        self.model = build_model(cfg)
+        self.logger = MetricLogger(log_dir, cfg.name)
+        self.key = jax.random.PRNGKey(cfg.trainer.seed)
+
+        # Params.
+        self.key, init_key = jax.random.split(self.key)
+        if self.is_image:
+            h, w, c = cfg.model.image_dim
+            dummy_x = jnp.zeros((2, h, w, c))
+        else:
+            dummy_x = jnp.zeros((2, 2))
+        dummy_t = jnp.zeros((2,))
+        if cfg.model.class_cond:
+            params = self.model.init(init_key, dummy_t, dummy_x, jnp.zeros((2,), jnp.int32))
+        else:
+            params = self.model.init(init_key, dummy_t, dummy_x)
+        self.score_model = None
+        if cfg.matcher.score_head:
+            self.score_model = build_model(cfg)
+            score_params = self.score_model.init(
+                jax.random.fold_in(init_key, 1), dummy_t, dummy_x
+            )
+            params = {"flow": params, "score": score_params}
+
+        # Optimizer + step.
+        self.optimizer = make_optimizer(
+            lr=cfg.optim.lr,
+            warmup_steps=cfg.optim.warmup_steps,
+            grad_clip=cfg.optim.grad_clip,
+            weight_decay=cfg.optim.weight_decay,
+        )
+        self.state = init_train_state(params, self.optimizer)
+        step_fn = make_train_step(
+            self.matcher,
+            self.model.apply,
+            self.optimizer,
+            ema_decay=cfg.optim.ema_decay,
+            class_conditional=cfg.model.class_cond,
+            score_apply_fn=self.score_model.apply if self.score_model else None,
+        )
+        if cfg.trainer.data_parallel and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+            self.step_fn = make_data_parallel_step(step_fn, self.mesh)
+        else:
+            self.mesh = None
+            self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+
+        # Checkpointing.
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.trainer.ckpt_dir, cfg.name),
+            save_interval=cfg.trainer.ckpt_interval,
+        )
+        if cfg.trainer.resume and self.ckpt.latest_step() is not None:
+            self.state = self.ckpt.restore(self.state)
+            print(f"resumed from step {int(self.state.step)}")
+
+        self._batches = self._make_batch_source()
+
+    # -- data -------------------------------------------------------------
+
+    def _make_batch_source(self) -> Callable[[Array], Tuple[Array, Array, Optional[Array]]]:
+        cfg = self.cfg
+        bs = cfg.data.batch_size
+        if not self.is_image:
+            target_gen = two_dim_data(cfg.data.dataset)
+            source_gen = two_dim_data(cfg.data.source)
+
+            def sample(key):
+                k0, k1 = jax.random.split(key)
+                return source_gen(k0, bs), target_gen(k1, bs), None
+
+            return sample
+
+        loader = load_cifar10 if cfg.data.dataset == "cifar10" else load_mnist
+        try:
+            data, labels = loader(cfg.data.data_dir, train=True)
+        except FileNotFoundError:
+            if not cfg.data.synthetic_fallback:
+                raise
+            data, labels = loader(cfg.data.data_dir, train=True, synthetic=True)
+            print(f"WARNING: {cfg.data.dataset} not found on disk; using synthetic data")
+        it = infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
+
+        def sample(key):
+            x1_u8, y1 = next(it)
+            k0, k1 = jax.random.split(key)
+            x1 = normalize_images(jnp.asarray(x1_u8))
+            if cfg.data.random_flip:
+                x1 = random_hflip(k1, x1)
+            x0 = jax.random.normal(k0, x1.shape)
+            y = jnp.asarray(y1) if cfg.model.class_cond else None
+            return x0, x1, y
+
+        return sample
+
+    # -- training ---------------------------------------------------------
+
+    def fit(self, max_steps: Optional[int] = None) -> TrainState:
+        cfg = self.cfg
+        total = cfg.trainer.total_steps if max_steps is None else max_steps
+        start = int(self.state.step)
+        t0 = time.perf_counter()
+        last_log_t, last_log_step = t0, start
+        for i in range(start, total):
+            self.key, data_key, step_key = jax.random.split(self.key, 3)
+            x0, x1, y = self._batches(data_key)
+            if y is not None:
+                self.state, metrics = self.step_fn(self.state, step_key, x0, x1, y, y)
+            else:
+                self.state, metrics = self.step_fn(self.state, step_key, x0, x1)
+            step = i + 1
+            if step % cfg.trainer.log_interval == 0 or step == total:
+                now = time.perf_counter()
+                sps = (step - last_log_step) / max(now - last_log_t, 1e-9)
+                last_log_t, last_log_step = now, step
+                out = {k: float(v) for k, v in metrics.items()}
+                out["steps_per_s"] = sps
+                self.logger.log(step, out)
+                print(f"step {step:7d}  loss {out['loss']:.4f}  {sps:.2f} steps/s")
+            if cfg.trainer.eval_interval and step % cfg.trainer.eval_interval == 0 and not self.is_image:
+                ev = self.evaluate()
+                self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})
+                print("  eval:", {k: round(v, 4) for k, v in ev.items()})
+            self.ckpt.save(self.state)
+        self.ckpt.save(self.state, force=True)
+        return self.state
+
+    # -- evaluation -------------------------------------------------------
+
+    def _flow_params(self, ema: bool = True):
+        p = self.state.ema_params if ema else self.state.params
+        return p["flow"] if self.score_model else p
+
+    def generate(self, key: Array, n: int, method: Optional[str] = None,
+                 n_steps: Optional[int] = None, y: Optional[Array] = None) -> Array:
+        """Sample from the learned flow by ODE integration from the source."""
+        cfg = self.cfg
+        method = method or cfg.eval.ode_method
+        n_steps = n_steps or cfg.eval.ode_steps
+        if self.is_image:
+            h, w, c = cfg.model.image_dim
+            x0 = jax.random.normal(key, (n, h, w, c))
+        else:
+            x0 = two_dim_data(cfg.data.source)(key, n)
+        f = vector_field_from_model(self.model.apply, self._flow_params(), y=y)
+        ts = jnp.linspace(0.0, 1.0, n_steps + 1) if method != "dopri5" else jnp.array([0.0, 1.0])
+        return odeint(f, x0, ts, method=method, return_trajectory=False).final
+
+    def evaluate(self, n: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        n = n or cfg.eval.num_eval_samples
+        self.key, kg, kt = jax.random.split(self.key, 3)
+        gen = self.generate(kg, n, method="euler", n_steps=cfg.eval.ode_steps)
+        if self.is_image:
+            return {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen))}
+        target = two_dim_data(cfg.data.dataset)(kt, n)
+        return {
+            "w1": float(wasserstein(gen, target, power=1)),
+            "w2": float(wasserstein(gen, target, power=2)),
+        }

@@ -7,7 +7,17 @@ ddp_sim 2-CPU-process testing mode (runner/configs/trainer/ddp_sim.yaml).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (not setdefault): the shell may have JAX_PLATFORMS=axon pointing
+# at a real tunneled TPU chip; unit tests must run on the spoofed CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize (zero-egress TPU tunnel) registers its backend and
+# programmatically sets jax_platforms="axon,cpu", overriding the env var — so
+# re-pin the config to CPU after import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()

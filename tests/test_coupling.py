@@ -1,0 +1,178 @@
+"""OT coupling tests — parity with /root/reference/tests/test_optimal_transport.py.
+
+- sample_map inverts a permutation plan exactly (replace=False)  (ref :15-29)
+- get_map equals an independent exact solve                       (ref :32-41)
+- sample_plan = get_map + sample_map composition under one key    (ref :44-60)
+- auction solver matches the native/scipy Hungarian oracle
+- sinkhorn plan marginals are correct; unbalanced/partial plans finite
+- trajectory chaining shapes
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfm_tpu.coupling import OTPlanSampler
+from cfm_tpu.ops.assignment import (
+    assignment_cost,
+    auction_assignment,
+    hungarian_assignment,
+)
+from cfm_tpu.ops.cost import sq_euclidean_cost
+from cfm_tpu.ops.sinkhorn import partial_wasserstein, sinkhorn, sinkhorn_unbalanced
+
+
+def test_sample_map_inverts_permutation():
+    n = 16
+    perm = jax.random.permutation(jax.random.PRNGKey(0), n)
+    pi = jnp.zeros((n, n)).at[jnp.arange(n), perm].set(1.0 / n)
+    i, j = OTPlanSampler.sample_map(jax.random.PRNGKey(1), pi, n, replace=False)
+    # Without replacement over a permutation plan, every row appears once and
+    # maps to its permuted column.
+    assert sorted(np.asarray(i).tolist()) == list(range(n))
+    np.testing.assert_array_equal(np.asarray(perm)[np.asarray(i)], np.asarray(j))
+
+
+def test_get_map_equals_direct_assignment():
+    key0, key1 = jax.random.split(jax.random.PRNGKey(2))
+    x0 = jax.random.normal(key0, (32, 3))
+    x1 = jax.random.normal(key1, (32, 3))
+    sampler = OTPlanSampler(method="exact")
+    pi = sampler.get_map(x0, x1)
+    M = sq_euclidean_cost(x0, x1)
+    perm = auction_assignment(M)
+    expected = np.zeros((32, 32), np.float32)
+    expected[np.arange(32), np.asarray(perm)] = 1.0 / 32
+    np.testing.assert_allclose(np.asarray(pi), expected)
+
+
+def test_auction_matches_hungarian_cost():
+    for seed in range(3):
+        M = jax.random.uniform(jax.random.PRNGKey(seed), (64, 64))
+        pa = auction_assignment(M)
+        ph = hungarian_assignment(M)
+        ca = float(assignment_cost(M, pa))
+        ch = float(assignment_cost(M, ph))
+        assert abs(ca - ch) / max(ch, 1e-9) < 1e-4, (seed, ca, ch)
+        # Result is a permutation.
+        assert sorted(np.asarray(pa).tolist()) == list(range(64))
+
+
+def test_sample_plan_composition():
+    key = jax.random.PRNGKey(3)
+    k0, k1, kp = jax.random.split(key, 3)
+    x0 = jax.random.normal(k0, (24, 2))
+    x1 = jax.random.normal(k1, (24, 2))
+    sampler = OTPlanSampler(method="exact")
+    rx0, rx1 = sampler.sample_plan(kp, x0, x1)
+    pi = sampler.get_map(x0, x1)
+    i, j = sampler.sample_map(kp, pi, 24)
+    np.testing.assert_array_equal(np.asarray(rx0), np.asarray(x0[i]))
+    np.testing.assert_array_equal(np.asarray(rx1), np.asarray(x1[j]))
+
+
+def test_exact_coupling_reduces_transport_cost():
+    """OT pairing must shorten mean pair distance vs independent pairing."""
+    k0, k1, kp = jax.random.split(jax.random.PRNGKey(4), 3)
+    x0 = jax.random.normal(k0, (128, 2))
+    x1 = jax.random.normal(k1, (128, 2)) + 3.0
+    sampler = OTPlanSampler(method="exact")
+    rx0, rx1 = sampler.sample_plan(kp, x0, x1)
+    d_ot = float(jnp.mean(jnp.sum(jnp.square(rx0 - rx1), axis=1)))
+    d_ind = float(jnp.mean(jnp.sum(jnp.square(x0 - x1), axis=1)))
+    assert d_ot < d_ind
+
+
+def test_sinkhorn_marginals():
+    M = jax.random.uniform(jax.random.PRNGKey(5), (32, 48))
+    a = jnp.full((32,), 1 / 32)
+    b = jnp.full((48,), 1 / 48)
+    pi = sinkhorn(a, b, M, reg=0.1)
+    np.testing.assert_allclose(np.asarray(pi.sum(1)), np.asarray(a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pi.sum(0)), np.asarray(b), atol=1e-6)
+
+
+def test_sinkhorn_small_reg_approaches_exact():
+    k0, k1 = jax.random.split(jax.random.PRNGKey(6))
+    x0 = jax.random.normal(k0, (32, 2))
+    x1 = jax.random.normal(k1, (32, 2))
+    M = sq_euclidean_cost(x0, x1)
+    a = b = jnp.full((32,), 1 / 32)
+    pi = sinkhorn(a, b, M, reg=0.005, num_iters=5000)
+    cost_sink = float(jnp.sum(pi * M))
+    perm = auction_assignment(M)
+    cost_exact = float(assignment_cost(M, perm)) / 32
+    assert cost_sink >= cost_exact - 1e-5
+    assert cost_sink < cost_exact * 1.2 + 1e-3
+
+
+def test_unbalanced_and_partial_finite():
+    M = jax.random.uniform(jax.random.PRNGKey(7), (16, 16))
+    a = b = jnp.full((16,), 1 / 16)
+    for reg_m in (1.0, (1.0, 10.0)):
+        pi = sinkhorn_unbalanced(a, b, M, reg=0.1, reg_m=reg_m)
+        assert bool(jnp.all(jnp.isfinite(pi))) and float(pi.sum()) > 0
+    pi = partial_wasserstein(a, b, M, reg=0.1, mass=0.5)
+    assert bool(jnp.all(jnp.isfinite(pi)))
+    np.testing.assert_allclose(float(pi.sum()), 0.5, atol=1e-4)
+    assert bool(jnp.all(pi.sum(1) <= np.asarray(a) + 1e-6))
+
+
+def test_sample_plan_exact_order_preserves_x0():
+    k0, k1 = jax.random.split(jax.random.PRNGKey(8))
+    x0 = jax.random.normal(k0, (16, 2))
+    x1 = jax.random.normal(k1, (16, 2))
+    sampler = OTPlanSampler(method="exact")
+    rx0, rx1 = sampler.sample_plan_exact_order(x0, x1)
+    np.testing.assert_array_equal(np.asarray(rx0), np.asarray(x0))
+    # rx1 is a permutation of x1.
+    assert sorted(map(tuple, np.asarray(rx1).round(5).tolist())) == sorted(
+        map(tuple, np.asarray(x1).round(5).tolist())
+    )
+
+
+def test_sample_trajectory_shapes():
+    X = jax.random.normal(jax.random.PRNGKey(9), (32, 4, 3))
+    sampler = OTPlanSampler(method="exact")
+    traj = sampler.sample_trajectory(jax.random.PRNGKey(10), X)
+    assert traj.shape == (32, 4, 3)
+    np.testing.assert_array_equal(np.asarray(traj[:, 0]), np.asarray(X[:, 0]))
+
+
+def test_unknown_method_raises():
+    with pytest.raises(ValueError):
+        OTPlanSampler(method="nope")
+
+
+def test_exact_unequal_batches_raises():
+    sampler = OTPlanSampler(method="exact")
+    with pytest.raises(ValueError):
+        sampler.get_map(jnp.zeros((4, 2)), jnp.zeros((6, 2)))
+
+
+def test_coupling_under_jit():
+    sampler = OTPlanSampler(method="exact")
+
+    @jax.jit
+    def couple(key, x0, x1):
+        return sampler.sample_plan(key, x0, x1)
+
+    k0, k1, kp = jax.random.split(jax.random.PRNGKey(11), 3)
+    rx0, rx1 = couple(kp, jax.random.normal(k0, (32, 2)), jax.random.normal(k1, (32, 2)))
+    assert rx0.shape == (32, 2) and rx1.shape == (32, 2)
+
+
+def test_native_lap_matches_scipy():
+    from cfm_tpu.ops.native import lap_solve, lap_solve_batch, native_available
+
+    rng = np.random.default_rng(0)
+    C = rng.random((48, 48))
+    sol, total = lap_solve(C)
+    import scipy.optimize
+
+    r, c = scipy.optimize.linear_sum_assignment(C)
+    np.testing.assert_allclose(total, C[r, c].sum(), rtol=1e-12)
+    assert sorted(sol.tolist()) == list(range(48))
+    sols, totals = lap_solve_batch(rng.random((4, 24, 24)))
+    assert sols.shape == (4, 24) and totals.shape == (4,)

@@ -1,0 +1,114 @@
+"""Integrator correctness against closed-form ODE/SDE solutions.
+
+The reference has no solver unit tests (it trusts torchdyn/torchsde); here the
+solvers are ours, so they get oracle tests: linear ODEs with exact solutions,
+adaptive-vs-fixed agreement, reverse-time integration, SDE moment checks, and
+logqp accumulation (parity targets: torchdiffeq dopri5 semantics at
+/root/reference/examples/images/cifar10/compute_fid.py:81-88 and torchsde
+sdeint at runner/src/models/components/solver.py:157-182).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfm_tpu.integrate import FlowSolver, odeint, sdeint
+
+
+def test_fixed_step_exponential_decay():
+    f = lambda t, x: -x
+    x0 = jnp.ones((4, 3))
+    ts = jnp.linspace(0.0, 1.0, 201)
+    for method, tol in [("euler", 5e-3), ("midpoint", 5e-5), ("heun", 5e-5), ("rk4", 2e-6)]:
+        sol = odeint(f, x0, ts, method=method)
+        np.testing.assert_allclose(
+            np.asarray(sol.final), np.exp(-1.0) * np.ones((4, 3)), rtol=tol
+        )
+    assert sol.ys.shape == (201, 4, 3)
+
+
+def test_nfe_counts():
+    f = lambda t, x: -x
+    x0 = jnp.ones((2, 2))
+    ts = jnp.linspace(0.0, 1.0, 101)
+    assert int(odeint(f, x0, ts, method="euler").nfe) == 100
+    assert int(odeint(f, x0, ts, method="rk4").nfe) == 400
+
+
+def test_dopri5_matches_exact_solution():
+    # Time-dependent linear ODE: dx/dt = t * x  ->  x(1) = x0 * exp(1/2)
+    f = lambda t, x: t * x
+    x0 = jnp.full((3, 2), 2.0)
+    sol = odeint(f, x0, jnp.array([0.0, 1.0]), method="dopri5", rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sol.final), 2.0 * np.exp(0.5) * np.ones((3, 2)), rtol=1e-5
+    )
+    assert int(sol.nfe) > 6
+
+
+def test_dopri5_reverse_time():
+    f = lambda t, x: -x
+    x0 = jnp.ones((2, 2))
+    sol = odeint(f, x0, jnp.array([1.0, 0.0]), method="dopri5")
+    np.testing.assert_allclose(np.asarray(sol.final), np.e * np.ones((2, 2)), rtol=1e-4)
+
+
+def test_dopri5_multi_segment_trajectory():
+    f = lambda t, x: -x
+    ts = jnp.linspace(0.0, 1.0, 11)
+    sol = odeint(f, jnp.ones((2, 1)), ts, method="dopri5")
+    expected = np.exp(-np.asarray(ts))[:, None, None] * np.ones((11, 2, 1))
+    np.testing.assert_allclose(np.asarray(sol.ys), expected, rtol=1e-4)
+
+
+def test_sde_zero_noise_reduces_to_euler():
+    f = lambda t, x: -x
+    g = lambda t, x: jnp.zeros_like(x)
+    key = jax.random.PRNGKey(0)
+    ts = jnp.linspace(0.0, 1.0, 101)
+    sde = sdeint(f, g, key, jnp.ones((4, 2)), ts)
+    ode = odeint(f, jnp.ones((4, 2)), ts, method="euler")
+    np.testing.assert_allclose(np.asarray(sde.final), np.asarray(ode.final), rtol=1e-6)
+
+
+def test_sde_brownian_variance():
+    # Pure diffusion dx = sigma dW: Var[x(1)] = sigma^2.
+    sigma = 0.7
+    f = lambda t, x: jnp.zeros_like(x)
+    g = lambda t, x: sigma * jnp.ones_like(x)
+    key = jax.random.PRNGKey(42)
+    x0 = jnp.zeros((4096, 1))
+    sde = sdeint(f, g, key, x0, jnp.linspace(0.0, 1.0, 101), return_trajectory=False)
+    var = float(jnp.var(sde.final))
+    assert abs(var - sigma**2) < 0.05, var
+
+
+def test_sde_logqp_accumulates_girsanov_kl():
+    # drift u, reference drift 0, diffusion g: KL = 0.5 * (u/g)^2 * T per dim.
+    u, g_val = 0.8, 0.5
+    f = lambda t, x: u * jnp.ones_like(x)
+    g = lambda t, x: g_val * jnp.ones_like(x)
+    h = lambda t, x: jnp.zeros_like(x)
+    sde = sdeint(f, g, jax.random.PRNGKey(0), jnp.zeros((8, 3)),
+                 jnp.linspace(0.0, 1.0, 101), logqp_drift=h)
+    expected = 0.5 * (u / g_val) ** 2 * 3
+    np.testing.assert_allclose(np.asarray(sde.logqp), expected, rtol=1e-6)
+
+
+def test_flow_solver_sde_reverse():
+    # v(t,x)=x, s=0: reverse drift -v(1-t, x) integrates dx/dt = -x.
+    solver = FlowSolver(drift=lambda t, x: x, score=lambda t, x: jnp.zeros_like(x), sigma=0.0)
+    out = solver.sdeint(jax.random.PRNGKey(0), jnp.ones((2, 2)),
+                        jnp.linspace(0.0, 1.0, 201), reverse=True)
+    np.testing.assert_allclose(np.asarray(out.final), np.exp(-1.0), rtol=5e-3)
+
+
+def test_odeint_under_jit_and_vmap():
+    f = lambda t, x: -x
+
+    @jax.jit
+    def run(x0):
+        return odeint(f, x0, jnp.linspace(0.0, 1.0, 51), method="rk4").final
+
+    np.testing.assert_allclose(np.asarray(run(jnp.ones((4, 2)))), np.exp(-1.0), rtol=1e-6)

@@ -1,0 +1,132 @@
+"""Model construction + forward smoke tests and gradient-field properties.
+
+Extends the reference's construction-only smoke test
+(/root/reference/tests/test_models.py:5-13) with shape checks, class
+conditioning, remat equivalence, and GradModel's conservative-field property.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cfm_tpu.models import (
+    ICNN,
+    MLP,
+    GradModel,
+    SimpleDenseNet,
+    TimeInvariantVelocityNet,
+    UNetModelWrapper,
+    VelocityNet,
+)
+
+
+@pytest.fixture(scope="module")
+def key():
+    return jax.random.PRNGKey(0)
+
+
+def test_mlp_shapes(key):
+    m = MLP(dim=2)
+    params = m.init(key, jnp.zeros((4,)), jnp.zeros((4, 2)))
+    out = m.apply(params, jnp.linspace(0, 1, 4), jnp.ones((4, 2)))
+    assert out.shape == (4, 2)
+
+
+def test_mlp_time_invariant(key):
+    m = MLP(dim=3, time_varying=False)
+    params = m.init(key, jnp.zeros((4,)), jnp.zeros((4, 3)))
+    a = m.apply(params, jnp.zeros((4,)), jnp.ones((4, 3)))
+    b = m.apply(params, jnp.ones((4,)), jnp.ones((4, 3)))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_velocity_net_variants(key):
+    for net in [VelocityNet(dim=2), TimeInvariantVelocityNet(dim=2)]:
+        params = net.init(key, jnp.zeros((4,)), jnp.zeros((4, 2)))
+        assert net.apply(params, jnp.zeros((4,)), jnp.ones((4, 2))).shape == (4, 2)
+    dense = SimpleDenseNet(input_size=8, output_size=5)
+    params = dense.init(key, jnp.zeros((4, 8)))
+    assert dense.apply(params, jnp.ones((4, 8))).shape == (4, 5)
+
+
+def test_grad_model_is_conservative(key):
+    """A gradient field has symmetric Jacobian (curl-free in 2D)."""
+    g = GradModel(w=32)
+    params = g.init(key, jnp.zeros((1,)), jnp.zeros((1, 2)))
+
+    def field(x):
+        return g.apply(params, jnp.full((1,), 0.3), x[None])[0]
+
+    x = jnp.array([0.7, -0.2])
+    J = jax.jacobian(field)(x)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J.T), rtol=1e-4, atol=1e-5)
+
+
+def test_icnn_convex_along_segments(key):
+    icnn = ICNN(dim=2, hidden_dims=(16, 16))
+    params = icnn.init(key, jnp.zeros((1, 2)))
+    a = jax.random.normal(jax.random.PRNGKey(1), (32, 2))
+    b = jax.random.normal(jax.random.PRNGKey(2), (32, 2))
+    fa = icnn.apply(params, a)[:, 0]
+    fb = icnn.apply(params, b)[:, 0]
+    fm = icnn.apply(params, 0.5 * (a + b))[:, 0]
+    assert bool(jnp.all(fm <= 0.5 * (fa + fb) + 1e-5))
+
+
+def test_unet_unconditional(key):
+    u = UNetModelWrapper(dim=(32, 32, 3), num_channels=16, num_res_blocks=1,
+                         attention_resolutions="16", num_heads=2)
+    params = u.init(key, jnp.zeros((2,)), jnp.zeros((2, 32, 32, 3)))
+    out = u.apply(params, jnp.full((2,), 0.5), jnp.ones((2, 32, 32, 3)))
+    assert out.shape == (2, 32, 32, 3)
+
+
+def test_unet_zero_init_output(key):
+    """Final conv is zero-initialized: output at init is exactly 0 (reference
+    ``zero_module`` semantics, unet.py:583-586)."""
+    u = UNetModelWrapper(dim=(32, 32, 3), num_channels=16, num_res_blocks=1)
+    params = u.init(key, jnp.zeros((2,)), jnp.zeros((2, 32, 32, 3)))
+    out = u.apply(params, jnp.full((2,), 0.5), jnp.ones((2, 32, 32, 3)))
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_unet_class_conditional_28(key):
+    """Class-conditional 28x28 construction — the reference smoke test's config
+    (tests/test_models.py:5-13: UNetModel with class_cond, 28x28)."""
+    u = UNetModelWrapper(dim=(28, 28, 1), num_channels=16, num_res_blocks=1,
+                         class_cond=True, num_classes=10)
+    params = u.init(key, jnp.zeros((2,)), jnp.zeros((2, 28, 28, 1)),
+                    jnp.zeros((2,), jnp.int32))
+    y = jnp.array([3, 7])
+    out = u.apply(params, jnp.full((2,), 0.5), jnp.ones((2, 28, 28, 1)), y)
+    assert out.shape == (2, 28, 28, 1)
+    # Different labels give different outputs once params are perturbed.
+    params2 = jax.tree.map(lambda p: p + 0.01, params)
+    o1 = u.apply(params2, jnp.full((2,), 0.5), jnp.ones((2, 28, 28, 1)), jnp.array([1, 1]))
+    o2 = u.apply(params2, jnp.full((2,), 0.5), jnp.ones((2, 28, 28, 1)), jnp.array([2, 2]))
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_unet_remat_matches_no_remat(key):
+    """use_checkpoint only rematerializes; outputs must be bitwise-close."""
+    kwargs = dict(dim=(32, 32, 3), num_channels=16, num_res_blocks=1,
+                  attention_resolutions="16")
+    u1 = UNetModelWrapper(use_checkpoint=False, **kwargs)
+    u2 = UNetModelWrapper(use_checkpoint=True, **kwargs)
+    params = u1.init(key, jnp.zeros((1,)), jnp.zeros((1, 32, 32, 3)))
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3))
+    t = jnp.full((1,), 0.25)
+    o1 = u1.apply(params, t, x)
+    o2 = u2.apply(params, t, x)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
+
+
+def test_unet_bf16_torso(key):
+    u = UNetModelWrapper(dim=(32, 32, 3), num_channels=16, num_res_blocks=1,
+                         dtype=jnp.bfloat16)
+    params = u.init(key, jnp.zeros((1,)), jnp.zeros((1, 32, 32, 3)))
+    # Params stay fp32 (master weights), activations run bf16.
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
+    out = u.apply(params, jnp.full((1,), 0.5), jnp.ones((1, 32, 32, 3)))
+    assert out.dtype == jnp.float32
