@@ -1,0 +1,102 @@
+"""Plotting: trajectories, vector-field streams, sample grids.
+
+Counterpart of the reference's plotting helpers
+(/root/reference/runner/src/models/components/plotting.py:10-182 and
+torchcfm/utils.py ``plot_trajectories``). Matplotlib only at call time —
+importing this module does not pull in a GUI backend.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_trajectories(traj, n: int = 2000, save_path: Optional[str] = None):
+    """2-D flow trajectories: start points, paths, end points
+    (torchcfm/utils.py:55-65 styling: black start, olive path, blue end)."""
+    plt = _plt()
+    traj = np.asarray(traj)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.scatter(traj[0, :n, 0], traj[0, :n, 1], s=10, alpha=0.8, c="black", label="x0")
+    ax.plot(traj[:, :n, 0], traj[:, :n, 1], alpha=0.1, c="olive", lw=0.8)
+    ax.scatter(traj[-1, :n, 0], traj[-1, :n, 1], s=4, alpha=1.0, c="blue", label="x1")
+    ax.legend()
+    ax.set_xticks([])
+    ax.set_yticks([])
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_scatter_and_flow(
+    x, vector_field: Optional[Callable] = None, grid_n: int = 20,
+    save_path: Optional[str] = None, t: float = 0.5,
+):
+    """Data scatter + vector-field quiver/stream (plotting.py:10-60)."""
+    plt = _plt()
+    x = np.asarray(x)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.scatter(x[:, 0], x[:, 1], s=4, alpha=0.5, c="tab:blue")
+    if vector_field is not None:
+        import jax.numpy as jnp
+
+        lo, hi = x.min() - 1, x.max() + 1
+        xs = np.linspace(lo, hi, grid_n)
+        X, Y = np.meshgrid(xs, xs)
+        pts = jnp.asarray(np.stack([X.ravel(), Y.ravel()], -1), jnp.float32)
+        v = np.asarray(vector_field(t, pts)).reshape(grid_n, grid_n, 2)
+        ax.streamplot(X, Y, v[..., 0], v[..., 1], color="gray", density=1.0, linewidth=0.7)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def image_grid(images, nrow: int = 8, save_path: Optional[str] = None):
+    """Tile NHWC images (in [-1,1] or uint8) into a grid png — the sample-grid
+    role of utils_cifar.generate_samples (examples/images/cifar10/utils_cifar.py:42-73)."""
+    plt = _plt()
+    imgs = np.asarray(images)
+    if imgs.dtype != np.uint8:
+        imgs = np.clip(imgs * 127.5 + 127.5, 0, 255).astype(np.uint8)
+    n, h, w, c = imgs.shape
+    ncol = (n + nrow - 1) // nrow
+    grid = np.zeros((ncol * h, nrow * w, c), np.uint8)
+    for i in range(n):
+        r, col = divmod(i, nrow)
+        grid[r * h : (r + 1) * h, col * w : (col + 1) * w] = imgs[i]
+    fig, ax = plt.subplots(figsize=(nrow, ncol))
+    ax.imshow(grid.squeeze(), cmap="gray" if c == 1 else None)
+    ax.axis("off")
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def store_trajectories(traj, path: str):
+    """Save rollout trajectories as .npy (plotting.py ``store_trajectories``)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.save(path, np.asarray(traj))
+    return path

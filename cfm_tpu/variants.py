@@ -1,0 +1,281 @@
+"""Variant training objectives: SF2M schedules, DSBM, rectified flow, action
+matching, CNF max-likelihood, ICNN OT maps.
+
+Functional re-design of the reference's 11 Lightning variant modules
+(/root/reference/runner/src/models/cfm_module.py:532-1455 and
+icnn_module.py:36-245). Each variant is a pure loss/target function (plus, for
+the outer-loop methods, a pair-regeneration function) that plugs into the
+same fused train step — the harness stays a thin consumer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .integrate import odeint, sdeint
+from .schedules import ConstantNoiseScheduler, NoiseScheduler
+from .utils import pad_t_like_x
+
+Array = jax.Array
+
+
+# --------------------------------------------------------------------------
+# Schedule-driven bridge (the SF2M generalization of SB-CFM)
+# --------------------------------------------------------------------------
+
+
+class ScheduleBridgeMatcher:
+    """Brownian-bridge path under an arbitrary noise schedule.
+
+    Reference: SF2MLitModule.calc_mu_sigma / calc_u (cfm_module.py:836-852):
+      mu_t    = x0 + (x1 - x0) F(t)/F(1)
+      sigma_t = sqrt(F(t) - F(t)^2/F(1))
+      u_t     = sigma'_t/sigma_t (x - mu_t) + (x1 - x0) g(t)^2/F(1)
+    With a ConstantNoiseScheduler this reduces exactly to the SB-CFM path.
+    The score target is the path noise eps (score_target at :852-870).
+    """
+
+    def __init__(self, schedule: Optional[NoiseScheduler] = None, sigma_min: float = 0.1):
+        self.schedule = schedule or ConstantNoiseScheduler(sigma_min)
+
+    def sample_location_and_targets(
+        self, key: Array, x0: Array, x1: Array, t: Optional[Array] = None
+    ) -> Dict[str, Array]:
+        t_key, eps_key = jax.random.split(key)
+        if t is None:
+            t = jax.random.uniform(t_key, (x0.shape[0],), dtype=x0.dtype)
+        tx = pad_t_like_x(t, x0)
+        s = self.schedule
+        ft = s.F(tx)
+        fone = s.F(jnp.asarray(1.0))
+        mu_t = x0 + (x1 - x0) * ft / fone
+        sigma_t = jnp.sqrt(jnp.maximum(ft - ft**2 / fone, 0.0))
+        eps = jax.random.normal(eps_key, x0.shape, x0.dtype)
+        xt = mu_t + sigma_t * eps
+
+        g2 = s.g(tx) ** 2
+        # d/dt sigma_t^2; the correct log-derivative is sigma'_t/sigma_t =
+        # (d/dt sigma_t^2) / (2 sigma_t^2). (The reference's calc_u divides by
+        # sigma_t once — cfm_module.py:846-851 — with a code comment
+        # questioning its own formula; for a constant schedule ours reduces
+        # exactly to torchcfm's SB-CFM drift (1-2t)/(2t(1-t)), theirs is 2x.)
+        sigma_t_sq_prime = g2 - 2.0 * ft * g2 / fone
+        sigma_ratio = sigma_t_sq_prime / (2.0 * sigma_t**2 + 1e-8)
+        mu_t_prime = (x1 - x0) * g2 / fone
+        ut = sigma_ratio * (xt - mu_t) + mu_t_prime
+        return {
+            "t": t, "xt": xt, "ut": ut, "eps": eps,
+            "mu_t": mu_t, "sigma_t": sigma_t, "g_t": s.g(tx),
+        }
+
+
+def sf2m_score_loss(st: Array, sample: Dict[str, Array]) -> Array:
+    """Score loss with the reference's sigma-scaled parameterization
+    (cfm_module.py:905-908): mse(-2 sigma_t st / g(t)^2, eps)."""
+    scaled = -2.0 * sample["sigma_t"] * st / (sample["g_t"] ** 2 + 1e-8)
+    return jnp.mean(jnp.square(scaled - sample["eps"]))
+
+
+# --------------------------------------------------------------------------
+# DSBM — diffusion Schrödinger bridge matching
+# --------------------------------------------------------------------------
+
+
+def dsbm_targets(
+    x0: Array, x1: Array, sample: Dict[str, Array], schedule: NoiseScheduler
+) -> Tuple[Array, Array, Array, Array]:
+    """Forward/backward drift regression targets + loss scalings.
+
+    Reference DSBMLitModule (cfm_module.py:1187-1228):
+      fwd target = x1 - x0 - g(t) sqrt(t/(1-t)) eps,   scale 1/(1 + g² t/(1-t))
+      bwd target = x0 - x1 - g(t) sqrt((1-t)/t) eps,   scale 1/(1 + g² (1-t)/t)
+    """
+    t = pad_t_like_x(sample["t"], x0)
+    eps = sample["eps"]
+    g = schedule.g(t)
+    fwd = x1 - x0 - g * jnp.sqrt(t / (1 - t + 1e-6)) * eps
+    bwd = x0 - x1 - g * jnp.sqrt((1 - t) / (t + 1e-6)) * eps
+    fwd_scale = 1.0 / (1.0 + g**2 * t / (1 - t + 1e-6))
+    bwd_scale = 1.0 / (1.0 + g**2 * (1 - t) / (t + 1e-6))
+    return fwd, bwd, fwd_scale, bwd_scale
+
+
+def make_dsbm_loss(
+    fwd_apply: Callable, bwd_apply: Callable, schedule: Optional[NoiseScheduler] = None,
+    sigma_min: float = 0.1,
+):
+    """Joint forward+backward drift matching loss (DSBM, shared bridge path)."""
+    bridge = ScheduleBridgeMatcher(schedule, sigma_min)
+    sched = bridge.schedule
+
+    def loss_fn(params, key, x0, x1):
+        sample = bridge.sample_location_and_targets(key, x0, x1)
+        fwd_t, bwd_t, fwd_s, bwd_s = dsbm_targets(x0, x1, sample, sched)
+        vt = fwd_apply(params["forward"], sample["t"], sample["xt"])
+        st = bwd_apply(params["backward"], sample["t"], sample["xt"])
+        fwd_loss = jnp.mean(fwd_s * jnp.square(vt - fwd_t))
+        bwd_loss = jnp.mean(bwd_s * jnp.square(st - bwd_t))
+        loss = fwd_loss + bwd_loss
+        return loss, {"loss": loss, "fwd_loss": fwd_loss, "bwd_loss": bwd_loss}
+
+    return loss_fn
+
+
+def dsbm_ode_drift(fwd_apply, bwd_apply, params) -> Callable:
+    """Probability-flow drift (f - b)/2 of the learned bridge
+    (DSBMFlowSolver, solver.py:225-269)."""
+
+    def drift(t, x):
+        tb = jnp.full((x.shape[0],), t, x.dtype)
+        return 0.5 * (fwd_apply(params["forward"], tb, x) - bwd_apply(params["backward"], tb, x))
+
+    return drift
+
+
+# --------------------------------------------------------------------------
+# Rectified flow (reflow)
+# --------------------------------------------------------------------------
+
+
+def reflow_pairs(
+    apply_fn: Callable, frozen_params: Any, x0: Array, n_steps: int = 100
+) -> Tuple[Array, Array]:
+    """Regenerate training pairs from a frozen net: x1 := ODE(frozen, x0).
+
+    The rectification step of RectifiedFlowLitModule (cfm_module.py:645-652):
+    after reflow, (x0, x1) pairs lie on the model's own straightened flow.
+    """
+
+    def f(t, x):
+        return apply_fn(frozen_params, jnp.full((x.shape[0],), t, x.dtype), x)
+
+    ts = jnp.linspace(0.0, 1.0, n_steps + 1)
+    x1 = odeint(f, x0, ts, method="euler", return_trajectory=False).final
+    return x0, jax.lax.stop_gradient(x1)
+
+
+def straightness(apply_fn, params, key, x0: Array, n_steps: int = 20) -> Array:
+    """Mean squared deviation of the flow from a straight line — the metric
+    rectified flow minimizes; 0 iff trajectories are straight."""
+
+    def f(t, x):
+        return apply_fn(params, jnp.full((x.shape[0],), t, x.dtype), x)
+
+    ts = jnp.linspace(0.0, 1.0, n_steps + 1)
+    sol = odeint(f, x0, ts, method="euler")
+    x1 = sol.final
+    straight = x0[None] + (ts[:, None, None] if x0.ndim == 2 else ts.reshape(-1, 1, 1, 1, 1)) * (x1 - x0)[None]
+    return jnp.mean(jnp.square(sol.ys - straight))
+
+
+# --------------------------------------------------------------------------
+# Action matching (Neklyudov et al. 2022)
+# --------------------------------------------------------------------------
+
+
+def make_action_matching_loss(energy_apply: Callable):
+    """Energy-based action matching loss (ActionMatchingLitModule,
+    cfm_module.py:662-697):
+
+      L = E[ s(0, x0) - s(1, x1) + 1/2 ||ds/dx(t, xt)||^2 + ds/dt(t, xt) ]
+
+    with xt the straight-line interpolant. ``energy_apply(params, t, x)``
+    returns the scalar action s per sample, shape (bs,) or (bs, 1).
+    """
+
+    def loss_fn(params, key, x0, x1):
+        t = jax.random.uniform(key, (x0.shape[0],), dtype=x0.dtype)
+        tx = pad_t_like_x(t, x0)
+        xt = tx * x1 + (1 - tx) * x0
+
+        def s_scalar(ti, xi):
+            out = energy_apply(params, ti[None], xi[None])
+            return jnp.sum(out)
+
+        dsdt = jax.vmap(jax.grad(s_scalar, argnums=0))(t, xt)
+        dsdx = jax.vmap(jax.grad(s_scalar, argnums=1))(t, xt)
+        a0 = energy_apply(params, jnp.zeros_like(t), x0).reshape(-1)
+        a1 = energy_apply(params, jnp.ones_like(t), x1).reshape(-1)
+        kinetic = 0.5 * jnp.sum(jnp.square(dsdx.reshape(x0.shape[0], -1)), axis=1)
+        loss = jnp.mean(a0 - a1 + kinetic + dsdt.reshape(-1))
+        return loss, {"loss": loss}
+
+    return loss_fn
+
+
+# --------------------------------------------------------------------------
+# CNF exact maximum likelihood
+# --------------------------------------------------------------------------
+
+
+def make_cnf_nll_loss(apply_fn: Callable, n_steps: int = 50, divergence: str = "exact",
+                      num_probes: int = 1):
+    """Negative log-likelihood loss via backward trace-augmented integration
+    (CNFLitModule, cfm_module.py:1412-1455). Differentiable through the scan.
+    """
+    from .augment import cnf_log_likelihood
+
+    def loss_fn(params, key, x0, x1):
+        del x0  # CNF trains on data x1 against the N(0, I) base
+
+        def f(t, x):
+            return apply_fn(params, jnp.full((x.shape[0],), t, x.dtype), x)
+
+        ll = cnf_log_likelihood(
+            f, x1, n_steps=n_steps, divergence=divergence, key=key,
+            num_probes=num_probes,
+        )
+        loss = -jnp.mean(ll)
+        return loss, {"loss": loss, "nll_per_dim": loss / x1[0].size}
+
+    return loss_fn
+
+
+# --------------------------------------------------------------------------
+# ICNN dual OT (Makkuva et al.)
+# --------------------------------------------------------------------------
+
+
+def make_icnn_losses(f_module, g_module):
+    """Minimax dual-ICNN OT losses (ICNNLitModule, icnn_module.py:36-245).
+
+    The map is T = grad g; f is the dual potential. Losses:
+      L_g = E_x[ f(grad g(x)) - <x, grad g(x)> ]     (minimize over g)
+      L_f = E_y[ f(y) ] - E_x[ f(grad g(x)) ]        (minimize over f)
+    Convexity is guaranteed architecturally (softplus-positive Wz weights in
+    cfm_tpu.models.ICNN), so no weight clipping/penalty is needed.
+    """
+
+    def grad_g(g_params, x):
+        def g_scalar(xi):
+            return g_module.apply(g_params, xi[None])[0, 0]
+
+        return jax.vmap(jax.grad(g_scalar))(x)
+
+    def g_loss(g_params, f_params, x):
+        Tx = grad_g(g_params, x)
+        fTx = f_module.apply(f_params, Tx)[:, 0]
+        corr = jnp.sum(x * Tx, axis=1)
+        loss = jnp.mean(fTx - corr)
+        return loss, {"g_loss": loss}
+
+    def f_loss(f_params, g_params, x, y):
+        Tx = jax.lax.stop_gradient(grad_g(g_params, x))
+        loss = jnp.mean(f_module.apply(f_params, y)[:, 0]) - jnp.mean(
+            f_module.apply(f_params, Tx)[:, 0]
+        )
+        return loss, {"f_loss": loss}
+
+    def w2_estimate(f_params, g_params, x, y):
+        """Dual W2 estimate (icnn_module.py compute_w2)."""
+        Tx = grad_g(g_params, x)
+        fTx = f_module.apply(f_params, Tx)[:, 0]
+        fy = f_module.apply(f_params, y)[:, 0]
+        corr = jnp.sum(x * Tx, axis=1)
+        dual = jnp.mean(corr - fTx) + jnp.mean(fy)
+        return 2 * dual - jnp.mean(jnp.sum(x**2, 1)) - jnp.mean(jnp.sum(y**2, 1))
+
+    return g_loss, f_loss, grad_g, w2_estimate
