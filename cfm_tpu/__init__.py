@@ -5,7 +5,20 @@ Flat exports mirror the reference's public API surface
 names: the five matchers, the OT coupling sampler, and the wasserstein metric.
 """
 
-from . import data, eval, integrate, models, ops, train
+from . import (
+    augment,
+    config,
+    data,
+    eval,
+    integrate,
+    models,
+    ops,
+    parallel,
+    schedules,
+    spline,
+    train,
+    variants,
+)
 from .coupling import OTPlanSampler, wasserstein
 from .integrate import FlowSolver, odeint, sdeint
 from .paths import (
@@ -30,11 +43,17 @@ __all__ = [
     "FlowSolver",
     "odeint",
     "sdeint",
+    "augment",
+    "config",
     "data",
     "eval",
     "integrate",
     "models",
     "ops",
+    "parallel",
+    "schedules",
+    "spline",
     "train",
+    "variants",
     "__version__",
 ]

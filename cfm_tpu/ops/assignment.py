@@ -152,22 +152,35 @@ def hungarian_assignment(cost: jax.Array) -> jax.Array:
     )
 
 
-def resolve_solver(method: str = "auto") -> str:
+def resolve_solver(method: str = "auto", n: int = 0) -> str:
     """Resolve "auto" to the right backend for the current platform.
 
-    TPU/GPU: the on-device auction kernel (no host sync, fuses into jitted
-    steps; axon TPU runtimes don't support host callbacks at all). CPU: the
-    native C++ JV solver via callback — a 256-point solve is ~1 ms on host vs
-    ~1 s of while_loop dispatch overhead for the auction on XLA:CPU.
+    TPU: the in-VMEM Pallas auction kernel (ops/pallas_auction.py — the cost
+    matrix and assignment state stay VMEM-resident for the whole solve;
+    ~0.3 ms at n=128 vs ~15 ms for the XLA while_loop auction), falling back
+    to the XLA auction above the VMEM size cutoff. CPU: the native C++ JV
+    solver via callback — a 256-point solve is ~1 ms on host vs ~1 s of
+    while_loop dispatch overhead for the auction on XLA:CPU. (axon TPU
+    runtimes don't support host callbacks at all, so the TPU path must stay
+    on-device.)
     """
     if method != "auto":
         return method
-    return "hungarian" if jax.default_backend() == "cpu" else "auction"
+    backend = jax.default_backend()
+    if backend == "cpu":
+        return "hungarian"
+    if backend in ("tpu", "axon") and 0 < n <= 1024:
+        return "pallas"
+    return "auction"
 
 
 def solve_assignment(cost: jax.Array, method: str = "auto") -> jax.Array:
-    """Dispatch to an assignment solver: "auto" | "auction" | "hungarian"."""
-    method = resolve_solver(method)
+    """Dispatch: "auto" | "pallas" | "auction" | "hungarian"."""
+    method = resolve_solver(method, n=cost.shape[0])
+    if method == "pallas":
+        from .pallas_auction import pallas_auction_assignment
+
+        return pallas_auction_assignment(cost)
     if method == "auction":
         return auction_assignment(cost)
     if method == "hungarian":

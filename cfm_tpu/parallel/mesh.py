@@ -1,0 +1,119 @@
+"""Device meshes, multihost initialization, and sharded input helpers.
+
+TPU-native replacement for the reference's torch.distributed/NCCL stack
+(SURVEY.md section 5 "Distributed communication backend";
+/root/reference/examples/images/cifar10/utils_cifar.py:15-39 ``setup``,
+train_cifar10_ddp.py:62-215): one SPMD program over a ``jax.sharding.Mesh``
+instead of one process per GPU with ring all-reduce.
+
+- ``initialize_distributed`` = the MASTER_ADDR/RANK handshake analogue
+  (``jax.distributed.initialize``), no-op on single-host.
+- ``make_mesh`` builds a ("data",) — or ("data", "model") — mesh over ICI;
+  on multi-slice deployments put "data" on DCN and in-slice axes on ICI by
+  ordering axes slowest-varying-first.
+- Gradient reduction is *implicit*: under jit with batch-sharded inputs and
+  replicated params, XLA inserts the psum over ICI where DDP ran NCCL
+  all-reduce (train_cifar10_ddp.py:124-125).
+- ``shard_batch_per_host`` replaces DistributedSampler: each host feeds its
+  local shard; ``jax.make_array_from_process_local_data`` assembles the
+  global array.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multihost init. Reads JAX_COORDINATOR_ADDRESS / defaults from env;
+    no-op when single-process (the reference's dist.init_process_group
+    analogue, utils_cifar.py:15-39)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return  # single host
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+    )
+
+
+def make_mesh(
+    axis_names: Sequence[str] = ("data",),
+    axis_sizes: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a mesh over all devices. Default: 1-D data-parallel mesh.
+
+    For ("data", "model") pass axis_sizes (e.g. (2, 4) on 8 chips): "data"
+    varies slowest so on multi-slice topologies it maps to DCN and "model"
+    stays on ICI.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if axis_sizes is None:
+        axis_sizes = [len(devs)] + [1] * (len(axis_names) - 1)
+    arr = np.array(devs).reshape(tuple(axis_sizes))
+    return Mesh(arr, tuple(axis_names))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def data_parallel_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec(axis))
+
+
+def shard_batch_per_host(mesh: Mesh, local_batch: np.ndarray, axis: str = "data"):
+    """Assemble a globally batch-sharded array from per-host local data.
+
+    Single-host: a plain device_put with the batch sharding. Multihost: each
+    process contributes its local shard (the DistributedSampler replacement —
+    hosts read disjoint data, no gather ever happens).
+    """
+    sharding = data_parallel_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(local_batch, sharding)
+    global_shape = (local_batch.shape[0] * jax.process_count(),) + local_batch.shape[1:]
+    return jax.make_array_from_process_local_data(sharding, local_batch, global_shape)
+
+
+def local_coupling_step(train_step, mesh: Mesh, axis: str = "data"):
+    """Wrap a train step in shard_map so the OT coupling runs PER-SHARD.
+
+    Under plain jit, the exact-OT coupling needs the global cost matrix, so
+    XLA all-gathers the batch and replicates the solve. This wrapper instead
+    couples within each device's local sub-batch — the reference DDP's
+    semantics exactly (each rank couples its local minibatch,
+    train_cifar10_ddp.py:156-171) — and psums gradients across shards.
+    Trades coupling quality for zero gather traffic; at global batch 128 on
+    8 chips each shard couples 16 samples.
+    """
+    from jax import shard_map
+
+    P = PartitionSpec
+
+    def sharded(state, key, x0, x1):
+        # Per-device sub-batch; different key per shard.
+        idx = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, idx)
+        return train_step(state, key, x0, x1)
+
+    return shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )

@@ -84,6 +84,7 @@ def make_train_step(
     class_conditional: bool = False,
     score_apply_fn: Optional[Callable[..., Array]] = None,
     data_axis: Optional[str] = None,
+    train_mode: bool = False,
 ) -> Callable:
     """Build the jittable CFM train step.
 
@@ -99,11 +100,21 @@ def make_train_step(
     - ``data_axis``: name of the mesh axis when called under shard_map; under
       plain jit + NamedSharding, XLA inserts the gradient all-reduce itself
       and this should stay None.
+    - ``train_mode``: pass ``train=True`` + a dropout PRNG to the model
+      (required for nets with dropout, e.g. the CIFAR-10 UNet recipe's 0.1 —
+      reference train_cifar10.py:97).
     """
 
     use_score = score_apply_fn is not None
 
+    def call_model(fn, p, t, xt, cond, drop_key):
+        args = (p, t, xt) + ((cond,) if cond is not None else ())
+        if train_mode:
+            return fn(*args, train=True, rngs={"dropout": drop_key})
+        return fn(*args)
+
     def loss_fn(params, key, x0, x1, y0, y1):
+        key, drop_key, score_drop_key = jax.random.split(key, 3)
         if class_conditional:
             t, xt, ut, y0_, y1_, eps = matcher.guided_sample_location_and_conditional_flow(
                 key, x0, x1, y0=y0, y1=y1, return_noise=True
@@ -115,20 +126,12 @@ def make_train_step(
             )
             cond = None
         flow_params = params["flow"] if use_score else params
-        vt = (
-            apply_fn(flow_params, t, xt, cond)
-            if cond is not None
-            else apply_fn(flow_params, t, xt)
-        )
+        vt = call_model(apply_fn, flow_params, t, xt, cond, drop_key)
         flow_loss = jnp.mean(jnp.square(vt - ut))
         metrics = {"loss": flow_loss, "flow_loss": flow_loss}
         if use_score:
             lambda_t = matcher.compute_lambda(t)
-            st = (
-                score_apply_fn(params["score"], t, xt, cond)
-                if cond is not None
-                else score_apply_fn(params["score"], t, xt)
-            )
+            st = call_model(score_apply_fn, params["score"], t, xt, cond, score_drop_key)
             lam = lambda_t.reshape(-1, *([1] * (st.ndim - 1)))
             score_loss = jnp.mean(jnp.square(lam * st + eps))
             metrics["score_loss"] = score_loss

@@ -167,6 +167,8 @@ class Trainer:
             ema_decay=cfg.optim.ema_decay,
             class_conditional=cfg.model.class_cond,
             score_apply_fn=self.score_model.apply if self.score_model else None,
+            # Dropout only exists in the UNet; MLPs don't take train/rngs.
+            train_mode=cfg.model.kind == "unet" and cfg.model.dropout > 0,
         )
         if cfg.trainer.data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
@@ -276,15 +278,44 @@ class Trainer:
         ts = jnp.linspace(0.0, 1.0, n_steps + 1) if method != "dopri5" else jnp.array([0.0, 1.0])
         return odeint(f, x0, ts, method=method, return_trajectory=False).final
 
+    def generate_sde(self, key: Array, n: int, n_steps: Optional[int] = None,
+                     logqp: bool = False):
+        """Stochastic generation with the learned flow+score (SF2M eval path,
+        reference cfm_module.py:911-983): dx = [v + s] dt + sigma dW."""
+        if self.score_model is None:
+            raise ValueError("SDE generation requires a score head (matcher.score_head)")
+        cfg = self.cfg
+        n_steps = n_steps or cfg.eval.ode_steps
+        kx, kw = jax.random.split(key)
+        if self.is_image:
+            h, w, c = cfg.model.image_dim
+            x0 = jax.random.normal(kx, (n, h, w, c))
+        else:
+            x0 = two_dim_data(cfg.data.source)(kx, n)
+        v = vector_field_from_model(self.model.apply, self.state.ema_params["flow"])
+        s = vector_field_from_model(self.score_model.apply, self.state.ema_params["score"])
+        sigma = cfg.matcher.sigma if cfg.matcher.sigma > 0 else 1.0
+        solver = FlowSolver(drift=v, score=s, sigma=sigma)
+        return solver.sdeint(kw, x0, jnp.linspace(0.0, 1.0, n_steps + 1),
+                             logqp=logqp, return_trajectory=False)
+
     def evaluate(self, n: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         n = n or cfg.eval.num_eval_samples
-        self.key, kg, kt = jax.random.split(self.key, 3)
+        self.key, kg, kt, ks = jax.random.split(self.key, 4)
         gen = self.generate(kg, n, method="euler", n_steps=cfg.eval.ode_steps)
         if self.is_image:
-            return {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen))}
-        target = two_dim_data(cfg.data.dataset)(kt, n)
-        return {
-            "w1": float(wasserstein(gen, target, power=1)),
-            "w2": float(wasserstein(gen, target, power=2)),
-        }
+            out = {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen))}
+        else:
+            target = two_dim_data(cfg.data.dataset)(kt, n)
+            out = {
+                "w1": float(wasserstein(gen, target, power=1)),
+                "w2": float(wasserstein(gen, target, power=2)),
+            }
+        if self.score_model is not None and cfg.eval.sde:
+            sde = self.generate_sde(ks, n, logqp=True)
+            out["sde_kl"] = float(jnp.mean(sde.logqp))
+            if not self.is_image:
+                target = two_dim_data(cfg.data.dataset)(kt, n)
+                out["sde_w2"] = float(wasserstein(sde.final, target, power=2))
+        return out

@@ -176,3 +176,21 @@ def test_native_lap_matches_scipy():
     assert sorted(sol.tolist()) == list(range(48))
     sols, totals = lap_solve_batch(rng.random((4, 24, 24)))
     assert sols.shape == (4, 24) and totals.shape == (4,)
+
+
+def test_onehot_auction_matches_lap():
+    """The scatter-free auction round (shared by the Pallas kernel and its
+    XLA oracle, ops/pallas_auction.py) solves exactly."""
+    from cfm_tpu.ops.native import lap_solve
+    from cfm_tpu.ops.pallas_auction import auction_assignment_onehot_xla
+
+    for seed, shift in [(0, 1.0), (1, 3.0), (2, 0.0)]:
+        k0, k1 = jax.random.split(jax.random.PRNGKey(seed))
+        x0 = jax.random.normal(k0, (96, 3))
+        x1 = jax.random.normal(k1, (96, 3)) + shift
+        M = sq_euclidean_cost(x0, x1)
+        p = np.asarray(auction_assignment_onehot_xla(M))
+        assert sorted(p.tolist()) == list(range(96))
+        _, copt = lap_solve(np.asarray(M))
+        ca = float(np.asarray(M)[np.arange(96), p].sum())
+        assert abs(ca - copt) / max(copt, 1e-9) < 1e-4

@@ -113,3 +113,34 @@ def test_data_parallel_step_on_virtual_mesh():
         state, metrics = step(state, ks, x0, x1)
     assert int(state.step) == 3
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_local_coupling_shard_map_step():
+    """shard_map wrapper: per-shard OT coupling + psum'd grads on the CPU mesh.
+
+    Covers the reference DDP semantics (per-rank coupling,
+    train_cifar10_ddp.py:156-171) as a sharding mode, not a separate script.
+    """
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from cfm_tpu.parallel import make_mesh as pmesh
+    from cfm_tpu.parallel.mesh import local_coupling_step
+
+    matcher = ConditionalFlowMatcher(sigma=0.1)
+    model = MLP(dim=2, w=32)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=1e-3, warmup_steps=0)
+    state = init_train_state(params, opt)
+    mesh = pmesh()
+    inner = make_train_step(matcher, model.apply, opt, ema_decay=0.99, data_axis="data")
+    step = jax.jit(local_coupling_step(inner, mesh))
+
+    n_dev = len(jax.devices())
+    batch = 8 * n_dev
+    key, k0, k1, ks = jax.random.split(key, 4)
+    x0 = eight_gaussians(k0, batch)
+    x1 = sample_moons(k1, batch)
+    state, metrics = step(state, ks, x0, x1)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
