@@ -1,0 +1,89 @@
+"""Waddington-OT-style interpolation with growth reweighting + point-cloud EMD.
+
+TPU-native counterpart of /root/reference/runner/src/models/components/
+emd.py:7-155: EMD between weighted point clouds (the reference calls POT's
+C++ emd2 on host; here the framework's own on-device solvers) and OT-plan
+interpolation with exponential-growth reweighting, keyed and jittable.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.cost import euclidean_cost, sq_euclidean_cost
+from ..ops.sinkhorn import sinkhorn
+
+Array = jax.Array
+
+
+def earth_mover_distance(
+    p: Array,
+    q: Array,
+    weights1: Optional[Array] = None,
+    weights2: Optional[Array] = None,
+    metric: str = "sqeuclidean",
+    reg: float = 0.01,
+    num_iters: int = 2000,
+) -> Array:
+    """sqrt of the OT cost between two weighted point clouds (emd.py:7-55).
+
+    Arbitrary weights make this a general-marginal problem, solved with the
+    on-device entropic solver at small reg (the reference's exact emd2 has no
+    jittable equivalent for non-uniform marginals; reg=0.01 keeps the bias
+    below Monte-Carlo noise at typical cloud sizes).
+    """
+    a = (
+        jnp.full((p.shape[0],), 1.0 / p.shape[0])
+        if weights1 is None
+        else weights1 / jnp.sum(weights1)
+    )
+    b = (
+        jnp.full((q.shape[0],), 1.0 / q.shape[0])
+        if weights2 is None
+        else weights2 / jnp.sum(weights2)
+    )
+    M = sq_euclidean_cost(p, q) if metric == "sqeuclidean" else euclidean_cost(p, q)
+    plan = sinkhorn(a, b, M, reg, num_iters=num_iters)
+    return jnp.sqrt(jnp.sum(plan * M))
+
+
+def interpolate_with_ot(
+    key: Array, p0: Array, p1: Array, tmap: Array, interp_frac: float, size: int
+) -> Array:
+    """Sample an interpolated population from an OT plan with exponential
+    growth correction (emd.py:107-105 ``interpolate_with_ot``):
+
+        p_ij ∝ tmap_ij / (col_sum_j)^(1 - t)
+
+    then draw ``size`` pairs and place points at (1-t) x0_i + t x1_j.
+    """
+    I, J = tmap.shape
+    col_sums = jnp.sum(tmap, axis=0)
+    p = tmap / jnp.power(jnp.maximum(col_sums, 1e-30), 1.0 - interp_frac)
+    p = p.reshape(-1)
+    p = p / jnp.sum(p)
+    cdf = jnp.cumsum(p)
+    u = jax.random.uniform(key, (size,)) * cdf[-1]
+    choices = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, I * J - 1)
+    i = choices // J
+    j = choices % J
+    return (1.0 - interp_frac) * p0[i] + interp_frac * p1[j]
+
+
+def interpolate_per_point_with_ot(
+    key: Array, p0: Array, p1: Array, tmap: Array, interp_frac: float
+) -> Array:
+    """Per-point interpolation: each x0_i draws its partner j from its
+    normalized plan row (emd.py:108-155)."""
+    assert p0.shape[0] == p1.shape[0] == tmap.shape[0]
+    I = p0.shape[0]
+    rows = tmap / jnp.maximum(jnp.sum(tmap, axis=1, keepdims=True), 1e-30)
+    cdf = jnp.cumsum(rows, axis=1)
+    u = jax.random.uniform(key, (I, 1)) * cdf[:, -1:]
+    j = jnp.clip(
+        jnp.sum((cdf < u).astype(jnp.int32), axis=1), 0, tmap.shape[1] - 1
+    )
+    return (1.0 - interp_frac) * p0 + interp_frac * p1[j]

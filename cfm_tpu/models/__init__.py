@@ -13,7 +13,13 @@ from .mlp import (
     TimeInvariantVelocityNet,
     VelocityNet,
 )
-from .unet import UNetModel, UNetModelWrapper
+from .unet import (
+    AttentionPool2d,
+    EncoderUNetModel,
+    SuperResModel,
+    UNetModel,
+    UNetModelWrapper,
+)
 
 __all__ = [
     "MLP",
@@ -22,6 +28,9 @@ __all__ = [
     "SimpleDenseNet",
     "TimeInvariantVelocityNet",
     "VelocityNet",
+    "AttentionPool2d",
+    "EncoderUNetModel",
+    "SuperResModel",
     "UNetModel",
     "UNetModelWrapper",
 ]

@@ -436,3 +436,136 @@ def UNetModelWrapper(
         resblock_updown=resblock_updown,
         dtype=dtype,
     )
+
+
+class AttentionPool2d(nn.Module):
+    """Attention-weighted global pooling (reference unet.py:23-50).
+
+    Flattens the spatial map, prepends the mean token, runs one multi-head
+    QKV attention with a learned positional embedding, returns the attended
+    mean-token features.
+    """
+
+    embed_dim: int
+    num_heads: int = 1
+    output_dim: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n, h, w, c = x.shape
+        tokens = x.reshape(n, h * w, c)
+        mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # (n, s+1, c)
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(1.0 / math.sqrt(c)),
+            (h * w + 1, c),
+        )
+        tokens = tokens + pos[None]
+        s = tokens.shape[1]
+        qkv = nn.Dense(3 * self.embed_dim, param_dtype=jnp.float32)(tokens)
+        head_dim = self.embed_dim // self.num_heads
+        q, k, v = jnp.split(qkv.reshape(n, s, 3, self.num_heads, head_dim), 3, axis=2)
+        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)
+        logits = jnp.einsum("nqhd,nkhd->nhqk", q, k) / math.sqrt(head_dim)
+        att = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("nhqk,nkhd->nqhd", att, v).reshape(n, s, self.embed_dim)
+        out = nn.Dense(self.output_dim or self.embed_dim, param_dtype=jnp.float32)(out)
+        return out[:, 0]
+
+
+class SuperResModel(nn.Module):
+    """Super-resolution UNet (reference unet.py:635-648): conditions on a
+    low-resolution image by upsampling it to the target size and
+    concatenating on the channel axis."""
+
+    base: UNetModel
+
+    @nn.compact
+    def __call__(self, t: Array, x: Array, low_res: Array,
+                 y: Optional[Array] = None, train: bool = False) -> Array:
+        n, h, w, _ = x.shape
+        upsampled = jax.image.resize(
+            low_res, (n, h, w, low_res.shape[-1]), method="bilinear"
+        )
+        x = jnp.concatenate([x, upsampled], axis=-1)
+        return self.base(t, x, y, train=train)
+
+
+class EncoderUNetModel(nn.Module):
+    """The down-path half of the UNet + a pooled head (reference :651-852).
+
+    ``pool``: "adaptive" (global mean), "attention" (AttentionPool2d), or
+    "spatial" (flatten + MLP). Used as a feature extractor / classifier over
+    the diffusion trunk.
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Sequence[int] = ()
+    channel_mult: Sequence[float] = (1, 2, 4, 8)
+    num_heads: int = 1
+    num_head_channels: int = -1
+    use_scale_shift_norm: bool = False
+    pool: str = "adaptive"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: Array, x: Array, train: bool = False) -> Array:
+        t = jnp.asarray(t)
+        if t.ndim == 0:
+            t = jnp.full((x.shape[0],), t)
+        time_embed_dim = self.model_channels * 4
+        emb = timestep_embedding(t, self.model_channels)
+        emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32)(emb)
+        emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32)(nn.silu(emb))
+
+        h = x.astype(self.dtype)
+        ch = int(self.channel_mult[0] * self.model_channels)
+        h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(h)
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for i in range(self.num_res_blocks):
+                ch = int(mult * self.model_channels)
+                h = ResBlock(
+                    out_channels=ch,
+                    use_scale_shift_norm=self.use_scale_shift_norm,
+                    dtype=self.dtype,
+                    name=f"down{level}_res{i}",
+                )(h, emb, train)
+                if ds in self.attention_resolutions:
+                    h = AttentionBlock(
+                        num_heads=self.num_heads,
+                        num_head_channels=self.num_head_channels,
+                        dtype=self.dtype,
+                        name=f"down{level}_attn{i}",
+                    )(h)
+            if level != len(self.channel_mult) - 1:
+                h = Downsample(True, out_channels=ch, dtype=self.dtype,
+                               name=f"down{level}_down")(h)
+                ds *= 2
+        h = ResBlock(use_scale_shift_norm=self.use_scale_shift_norm,
+                     dtype=self.dtype, name="mid_res0")(h, emb, train)
+        h = AttentionBlock(num_heads=self.num_heads,
+                           num_head_channels=self.num_head_channels,
+                           dtype=self.dtype, name="mid_attn")(h)
+        h = ResBlock(use_scale_shift_norm=self.use_scale_shift_norm,
+                     dtype=self.dtype, name="mid_res1")(h, emb, train)
+
+        h = nn.silu(GroupNorm32()(h)).astype(jnp.float32)
+        if self.pool == "adaptive":
+            pooled = jnp.mean(h, axis=(1, 2))
+            return nn.Dense(self.out_channels, param_dtype=jnp.float32)(pooled)
+        if self.pool == "attention":
+            return AttentionPool2d(
+                embed_dim=h.shape[-1],
+                num_heads=max(1, self.num_heads),
+                output_dim=self.out_channels,
+            )(h)
+        if self.pool == "spatial":
+            flat = h.reshape(h.shape[0], -1)
+            hdn = nn.relu(nn.Dense(2048, param_dtype=jnp.float32)(flat))
+            return nn.Dense(self.out_channels, param_dtype=jnp.float32)(hdn)
+        raise ValueError(f"Unknown pool: {self.pool}")

@@ -32,12 +32,14 @@ def sinkhorn(
     M: jax.Array,
     reg: float,
     num_iters: int = 1000,
-    tol: float = 1e-9,
+    tol: float = 1e-6,
 ) -> jax.Array:
     """Balanced entropic OT plan via log-domain Sinkhorn iterations.
 
-    Matches ``pot.sinkhorn(a, b, M, reg)`` semantics (default numItermax=1000,
-    stopThr=1e-9) but runs entirely on device.
+    Matches ``pot.sinkhorn(a, b, M, reg)`` semantics (numItermax=1000) but
+    runs entirely on device in float32 — hence the default stop threshold is
+    1e-6, not POT's float64 1e-9, which f32 marginal-error sums cannot reach
+    (the loop would always run to num_iters).
     """
     loga = jnp.log(a.astype(jnp.float32))
     logb = jnp.log(b.astype(jnp.float32))
@@ -64,7 +66,7 @@ def sinkhorn(
     return jnp.exp((f[:, None] + g[None, :] - M) / reg)
 
 
-def sinkhorn2(a, b, M, reg, num_iters: int = 1000, tol: float = 1e-9) -> jax.Array:
+def sinkhorn2(a, b, M, reg, num_iters: int = 1000, tol: float = 1e-6) -> jax.Array:
     """Entropic OT cost <plan, M> (``pot.sinkhorn2`` analogue)."""
     plan = sinkhorn(a, b, M, reg, num_iters=num_iters, tol=tol)
     return jnp.sum(plan * M)

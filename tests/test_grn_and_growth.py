@@ -1,0 +1,125 @@
+"""GRN nets, graph metrics, growth-interpolation tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cfm_tpu.eval.graphs import (
+    compare_graphs,
+    compare_graphs_bayesian_shd,
+    structural_hamming_distance,
+)
+from cfm_tpu.eval.growth import (
+    earth_mover_distance,
+    interpolate_per_point_with_ot,
+    interpolate_with_ot,
+)
+from cfm_tpu.models.grn import MLPODEF, make_ensemble
+
+
+def test_mlpodef_shapes_and_structure():
+    d, k = 5, 8
+    model = MLPODEF(dims=[d, k, 1])
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (16, d))
+    params = model.init(key, jnp.zeros(()), x)
+    v = model.apply(params, 0.0, x)
+    assert v.shape == (16, d)
+    A = model.get_structure(params)
+    assert A.shape == (d, d)
+    assert bool(jnp.all(A >= 0))
+    assert float(model.l1_reg(params)) > 0
+    assert float(model.l2_reg(params)) > 0
+    assert float(model.group_lasso_reg(params)) > 0
+    grn = jnp.eye(d)
+    assert float(model.grn_reg(params, grn)) > 0
+
+
+def test_mlpodef_structure_recovery():
+    """Train on a linear system x' = x @ A.T with sparse A; the recovered
+    edge scores must rank true edges above absent ones."""
+    d = 4
+    A_true = jnp.array([
+        [0.0, 1.5, 0.0, 0.0],
+        [0.0, 0.0, -1.5, 0.0],
+        [0.0, 0.0, 0.0, 1.5],
+        [1.5, 0.0, 0.0, 0.0],
+    ])
+    model = MLPODEF(dims=[d, 8, 1], gl_reg=1e-3)
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (512, d))
+    v_true = x0 @ A_true.T
+    params = model.init(key, jnp.zeros(()), x0)
+    opt = optax.adam(5e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            v = model.apply(p, 0.0, x0)
+            return jnp.mean(jnp.square(v - v_true)) + model.group_lasso_reg(p)
+
+        l, g = jax.value_and_grad(loss)(params)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, l
+
+    for _ in range(500):
+        params, opt_state, l = step(params, opt_state)
+    # get_structure[i, j] scores input-gene i -> output-gene j; the dynamics
+    # matrix A_true[out, in] transposes that.
+    scores = np.asarray(model.get_structure(params)).T
+    true_edges = np.abs(np.asarray(A_true)) > 0
+    assert scores[true_edges].min() > scores[~true_edges].max(), (
+        scores.round(2), true_edges)
+
+
+def test_ensemble():
+    model = MLPODEF(dims=[3, 4, 1])
+    init_fn, apply_fn = make_ensemble(model, 5)
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (8, 3))
+    params = init_fn(key, jnp.zeros(()), x)
+    out = apply_fn(params, 0.0, x)
+    assert out.shape == (5, 8, 3)
+    # Members differ.
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_shd_and_auc():
+    true = np.array([[0, 1], [0, 0]])
+    est_good = np.array([[0.1, 0.9], [0.2, 0.0]])
+    est_bad = 1 - est_good
+    m_good = compare_graphs(true, est_good)
+    m_bad = compare_graphs(true, est_bad)
+    assert m_good["auroc"] > m_bad["auroc"]
+    shd, tshd = compare_graphs_bayesian_shd(true, [est_good, est_good])
+    assert tshd <= shd + 1e-9
+    assert structural_hamming_distance(true, true) == 0.0
+
+
+def test_shd_deidentified_folding():
+    # Row 2 is a duplicate of row 0 (encoded -1 in first column).
+    true = np.array([[0, 1, 0], [0, 0, 0], [-1, 0, 0]])
+    est = np.array([[0.0, 0.5, 0.0], [0.0, 0.0, 0.0], [0.0, 0.5, 0.0]])
+    # Folded row0 = [0, 1, 0] -> SHD 0 against [[0,1,0],[0,0,0]].
+    assert structural_hamming_distance(true, est) == pytest.approx(0.0)
+
+
+def test_emd_translation():
+    x = jax.random.normal(jax.random.PRNGKey(3), (256, 2))
+    d = float(earth_mover_distance(x, x + jnp.array([3.0, 4.0]), reg=0.01))
+    assert abs(d - 5.0) < 0.2, d
+
+
+def test_growth_interpolation():
+    key = jax.random.PRNGKey(4)
+    p0 = jnp.zeros((32, 2))
+    p1 = jnp.ones((32, 2))
+    tmap = jnp.eye(32) / 32
+    mid = interpolate_with_ot(key, p0, p1, tmap, 0.5, 64)
+    np.testing.assert_allclose(np.asarray(mid), 0.5, atol=1e-6)
+    per = interpolate_per_point_with_ot(key, p0, p1, tmap, 0.25)
+    np.testing.assert_allclose(np.asarray(per), 0.25, atol=1e-6)
+    assert per.shape == (32, 2)

@@ -122,3 +122,37 @@ def test_class_conditional_harness(tmp_path):
     y = jnp.zeros((4,), jnp.int32)
     gen = trainer.generate(jax.random.PRNGKey(0), 4, method="euler", n_steps=4, y=y)
     assert gen.shape == (4, 28, 28, 1)
+
+
+def test_sweep_grid_and_resilience(tmp_path):
+    """Grid expansion + failure resilience (reference test_sweeps.py role)."""
+    from cfm_tpu.sweep import expand_grid, run_sweep
+
+    combos = expand_grid(["matcher.kind=icfm,otcfm", "optim.lr=0.001"])
+    assert len(combos) == 2
+
+    calls = []
+
+    def run_fn(cfg):
+        calls.append(cfg.matcher.kind)
+        if cfg.matcher.kind == "otcfm":
+            raise RuntimeError("boom")
+        return {"w2": 0.5}
+
+    recs = run_sweep("2d_icfm", ["matcher.kind=icfm,otcfm"], run_fn=run_fn)
+    assert len(recs) == 2 and calls == ["icfm", "otcfm"]
+    assert recs[0]["objective"] == 0.5
+    assert "error" in recs[1]
+
+
+def test_random_search():
+    from cfm_tpu.sweep import choice, log_uniform, random_search
+
+    def run_fn(cfg):
+        return {"w2": abs(cfg.optim.lr - 1e-3)}
+
+    best, trials = random_search(
+        "2d_icfm", {"optim.lr": log_uniform(1e-4, 1e-2)}, n_trials=8, run_fn=run_fn
+    )
+    assert len(trials) == 8
+    assert best["objective"] == min(t["objective"] for t in trials)
