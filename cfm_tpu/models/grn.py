@@ -127,3 +127,97 @@ def make_ensemble(module: nn.Module, n_members: int):
         return jax.vmap(lambda p: module.apply(p, t, x))(stacked_params)
 
     return init_fn, apply_fn
+
+
+class DeepSet(nn.Module):
+    """Permutation-invariant set encoder (reference hyper_nets.py DeepSet):
+    phi per element, sum-pool, rho. Encodes e.g. intervention-mask sets into
+    a context vector for hypernetworks."""
+
+    phi_dims: Sequence[int] = (64, 64)
+    rho_dims: Sequence[int] = (64,)
+    out_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:  # (n, set, d) -> (n, out)
+        h = x
+        for w in self.phi_dims:
+            h = nn.relu(nn.Dense(w)(h))
+        pooled = jnp.sum(h, axis=-2)
+        for w in self.rho_dims:
+            pooled = nn.relu(nn.Dense(w)(pooled))
+        return nn.Dense(self.out_dim)(pooled)
+
+
+class HyperLocallyConnected(nn.Module):
+    """Locally-connected layer whose weights are generated from a context
+    embedding (reference hyper_nets.py HyperLocallyConnected): enables
+    intervention-conditioned dynamics without retraining."""
+
+    num_vars: int
+    m_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        # x: (n, d, m_in); context: (n, c) -> per-sample weights.
+        m_in = x.shape[-1]
+        d = self.num_vars
+        w_flat = nn.Dense(d * m_in * self.m_out, name="hyper_w")(context)
+        w = w_flat.reshape(-1, d, m_in, self.m_out)
+        out = jnp.einsum("ndm,ndmo->ndo", x, w)
+        if self.use_bias:
+            b = nn.Dense(d * self.m_out, name="hyper_b")(context).reshape(-1, d, self.m_out)
+            out = out + b
+        return out
+
+
+class HyperMLPODEF(nn.Module):
+    """MLPODEF with the hidden locally-connected layer hyper-generated from a
+    context (e.g. a DeepSet encoding of intervened variables) — the
+    DeepEnsHyperMLPODEF role (mlpode.py/hyper_nets.py) as one module."""
+
+    dims: Sequence[int]
+    context_dim: int = 16
+
+    @nn.compact
+    def __call__(self, t: Array, x: Array, context: Array) -> Array:
+        d, k = self.dims[0], self.dims[1]
+        h = nn.Dense(d * k, name="fc1")(x).reshape(-1, d, k)
+        h = nn.elu(h)
+        h = HyperLocallyConnected(d, self.dims[-1], name="hyper_fc2")(h, context)
+        return h[..., 0]
+
+
+class BayesMLPODEF(nn.Module):
+    """Bayesian-structure MLPODEF (BayesMLPODEF/DibsLayer role, simplified):
+    learnable per-edge Bernoulli logits gate the fc1 weight groups; sampling
+    with Gumbel-sigmoid gives a distribution over graphs, and
+    ``edge_probs`` exposes the posterior for the Bayesian SHD metrics
+    (cfm_tpu.eval.graphs.compare_graphs_bayesian_shd)."""
+
+    dims: Sequence[int]
+    temperature: float = 0.5
+
+    @nn.compact
+    def __call__(self, t: Array, x: Array, key: Optional[Array] = None) -> Array:
+        d, k = self.dims[0], self.dims[1]
+        logits = self.param("edge_logits", nn.initializers.zeros, (d, d))
+        if key is not None:
+            u = jax.random.uniform(key, (d, d), minval=1e-6, maxval=1 - 1e-6)
+            g = jnp.log(u) - jnp.log1p(-u)
+            gate = jax.nn.sigmoid((logits + g) / self.temperature)  # (d_in, d_out)
+        else:
+            gate = jax.nn.sigmoid(logits)
+        w = self.param(
+            "fc1_kernel", nn.initializers.lecun_normal(), (d, d * k)
+        ).reshape(d, d, k)                            # (i, j, k)
+        b = self.param("fc1_bias", nn.initializers.zeros, (d, k))
+        wg = w * gate[:, :, None]                     # gate group (i -> j)
+        h = jnp.einsum("ni,ijk->njk", x, wg) + b[None]
+        for i in range(len(self.dims) - 2):
+            h = LocallyConnected(d, self.dims[i + 2], name=f"fc2_{i}")(nn.elu(h))
+        return h[..., 0]
+
+    def edge_probs(self, params) -> Array:
+        return jax.nn.sigmoid(params["params"]["edge_logits"])

@@ -97,28 +97,52 @@ _2D_SETS = {"moons", "moon", "8gaussians", "pinwheel", "checkerboard", "checker"
 
 
 class MetricLogger:
-    """CSV + stdout metric logging (the reference's csv logger role,
-    runner/configs/logger/csv.yaml)."""
+    """CSV + JSONL + stdout metric logging.
+
+    Covers the reference's logger-backend roles (runner/configs/logger/*.yaml:
+    csv always; wandb attaches when the package is installed and
+    CFM_TPU_WANDB=1 — optional, zero hard dependency)."""
 
     def __init__(self, log_dir: str, name: str):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, f"{name}_metrics.csv")
+        self.jsonl_path = os.path.join(log_dir, f"{name}_metrics.jsonl")
         self._writer = None
         self._file = None
+        self._wandb = None
+        if os.environ.get("CFM_TPU_WANDB") == "1":
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project="cfm_tpu", name=name, dir=log_dir)
+            except Exception:
+                self._wandb = None
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
+        import json
+
         row = {"step": step, **{k: float(v) for k, v in metrics.items()}}
         if self._writer is None:
             self._file = open(self.path, "a", newline="")
             self._writer = csv.DictWriter(self._file, fieldnames=list(row))
             if self._file.tell() == 0:
                 self._writer.writeheader()
-        self._writer.writerow(row)
+        try:
+            self._writer.writerow(row)
+        except ValueError:  # new metric keys (e.g. eval rows): fall back to jsonl only
+            pass
         self._file.flush()
+        with open(self.jsonl_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self._wandb is not None:
+            self._wandb.log(row, step=step)
 
     def close(self):
         if self._file:
             self._file.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class Trainer:

@@ -49,3 +49,9 @@ def flatten_batch(x: Array) -> Array:
     if x.ndim == 1:
         return x[:, None]
     return x
+
+
+def mean_flat(x: Array) -> Array:
+    """Mean over all non-batch dimensions (reference torchcfm/models/unet/
+    nn.py ``mean_flat``)."""
+    return jnp.mean(x, axis=tuple(range(1, x.ndim)))

@@ -279,3 +279,25 @@ def make_icnn_losses(f_module, g_module):
         return 2 * dual - jnp.mean(jnp.sum(x**2, 1)) - jnp.mean(jnp.sum(y**2, 1))
 
     return g_loss, f_loss, grad_g, w2_estimate
+
+
+def make_oneway_dsbm_loss(
+    fwd_apply: Callable, schedule: Optional[NoiseScheduler] = None, sigma_min: float = 0.1
+):
+    """Single forward-drift bridge matching (OneWaySF2MLitModule,
+    cfm_module.py:1088-1118): only the forward SDE drift is regressed, with
+    the same t/(1-t) scaling as DSBM's forward half. (The reference's
+    eps reconstruction there rescales the noise by -2/g^2 against its own
+    SF2M convention; we keep the DSBM-consistent target.)
+    """
+    bridge = ScheduleBridgeMatcher(schedule, sigma_min)
+    sched = bridge.schedule
+
+    def loss_fn(params, key, x0, x1):
+        sample = bridge.sample_location_and_targets(key, x0, x1)
+        fwd_t, _, fwd_s, _ = dsbm_targets(x0, x1, sample, sched)
+        vt = fwd_apply(params, sample["t"], sample["xt"])
+        loss = jnp.mean(fwd_s * jnp.square(vt - fwd_t))
+        return loss, {"loss": loss}
+
+    return loss_fn

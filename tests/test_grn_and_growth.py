@@ -123,3 +123,37 @@ def test_growth_interpolation():
     per = interpolate_per_point_with_ot(key, p0, p1, tmap, 0.25)
     np.testing.assert_allclose(np.asarray(per), 0.25, atol=1e-6)
     assert per.shape == (32, 2)
+
+
+def test_hyper_and_bayes_variants():
+    from cfm_tpu.models.grn import BayesMLPODEF, DeepSet, HyperMLPODEF
+
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (8, 4))
+
+    ds = DeepSet(out_dim=16)
+    p = ds.init(key, jnp.zeros((8, 3, 4)))
+    ctx = ds.apply(p, jax.random.normal(key, (8, 3, 4)))
+    assert ctx.shape == (8, 16)
+    # Permutation invariance.
+    sets = jax.random.normal(key, (8, 3, 4))
+    np.testing.assert_allclose(
+        np.asarray(ds.apply(p, sets)),
+        np.asarray(ds.apply(p, sets[:, ::-1])),
+        rtol=2e-5, atol=1e-5,
+    )
+
+    hm = HyperMLPODEF(dims=[4, 8, 1])
+    p = hm.init(key, jnp.zeros(()), x, ctx)
+    assert hm.apply(p, 0.0, x, ctx).shape == (8, 4)
+
+    bm = BayesMLPODEF(dims=[4, 8, 1])
+    p = bm.init(key, jnp.zeros(()), x)
+    out_det = bm.apply(p, 0.0, x)
+    assert out_det.shape == (8, 4)
+    out_s1 = bm.apply(p, 0.0, x, key=jax.random.PRNGKey(1))
+    out_s2 = bm.apply(p, 0.0, x, key=jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(out_s1), np.asarray(out_s2))
+    probs = bm.edge_probs(p)
+    assert probs.shape == (4, 4)
+    assert bool(jnp.all((probs >= 0) & (probs <= 1)))

@@ -130,3 +130,25 @@ def test_unet_bf16_torso(key):
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(params))
     out = u.apply(params, jnp.full((1,), 0.5), jnp.ones((1, 32, 32, 3)))
     assert out.dtype == jnp.float32
+
+
+def test_diffeq_layers(key):
+    from cfm_tpu.models.diffeq import _LAYER_TYPES, ODEnet
+
+    x = jnp.ones((4, 3))
+    t = jnp.full((4,), 0.5)
+    for name, cls in _LAYER_TYPES.items():
+        layer = cls(out_dim=5)
+        params = layer.init(jax.random.PRNGKey(0), t, x)
+        out = layer.apply(params, t, x)
+        assert out.shape == (4, 5), name
+        if name != "ignore":
+            # Time must influence the output.
+            out2 = layer.apply(params, jnp.zeros((4,)), x)
+            assert not np.allclose(np.asarray(out), np.asarray(out2)), name
+
+    net = ODEnet(hidden_dims=(16, 16), out_dim=3)
+    params = net.init(jax.random.PRNGKey(1), t, x)
+    assert net.apply(params, t, x).shape == (4, 3)
+    # Scalar t broadcast.
+    assert net.apply(params, 0.3, x).shape == (4, 3)
