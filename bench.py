@@ -28,8 +28,9 @@ def main(smoke: bool = False) -> None:
 
     # Persistent compile cache: the full train-step program takes minutes to
     # build over the axon remote-compile tunnel; cache it across processes.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from cfm_tpu.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     import jax.numpy as jnp
 
     from cfm_tpu import ExactOptimalTransportConditionalFlowMatcher

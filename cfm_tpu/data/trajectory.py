@@ -161,3 +161,25 @@ def whiten(marginals: List[np.ndarray]) -> Tuple[List[np.ndarray], np.ndarray, n
     mu = full.mean(0)
     std = full.std(0) + 1e-8
     return [(m - mu) / std for m in marginals], mu, std
+
+
+def load_h5ad_joint_plans(path: str, n_timepoints: int, leaveout: bool = False):
+    """Read precomputed joint OT plans from an .h5ad ``uns`` group.
+
+    Counterpart of the reference's geodesic datamodule
+    (distribution_datamodule.py:190-281: ``adata.uns["pi_{t}_{t+1}"]`` per
+    adjacent pair, plus ``pi_{t+1}`` straddling plans for leaveout). The
+    returned plans feed ``OTPlanSampler.sample_map`` directly — precomputed
+    couplings replace the per-batch OT solve.
+    """
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        uns = f["uns"]
+        plans = [np.asarray(uns[f"pi_{t}_{t+1}"]) for t in range(n_timepoints - 1)]
+        straddle = (
+            [np.asarray(uns[f"pi_{t+1}"]) for t in range(n_timepoints - 2)]
+            if leaveout
+            else None
+        )
+    return plans, straddle

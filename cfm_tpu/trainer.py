@@ -149,6 +149,9 @@ class Trainer:
     """Config-driven training: the L5 entry point of the framework."""
 
     def __init__(self, cfg: Config, log_dir: str = "logs"):
+        from .compile_cache import enable as _enable_compile_cache
+
+        _enable_compile_cache()
         self.cfg = cfg
         self.is_image = cfg.data.dataset in ("cifar10", "mnist")
         self.matcher = build_matcher(cfg)
@@ -194,6 +197,7 @@ class Trainer:
             # Dropout only exists in the UNet; MLPs don't take train/rngs.
             train_mode=cfg.model.kind == "unet" and cfg.model.dropout > 0,
         )
+        self._raw_step = step_fn
         if cfg.trainer.data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             self.step_fn = make_data_parallel_step(step_fn, self.mesh)
@@ -213,19 +217,19 @@ class Trainer:
         self._batches = self._make_batch_source()
 
     # -- data -------------------------------------------------------------
+    #
+    # Perf-critical on the axon tunnel (~30 ms dispatch RTT): everything that
+    # can run on device runs INSIDE one fused jitted step — 2D batches are
+    # generated from the PRNG key in-step (zero host data), image batches
+    # ship as raw uint8 (4x smaller) and are normalized/flipped/noise-paired
+    # in-step; the host loop prefetches the next uint8 batch with an async
+    # device_put while the current step runs.
 
     def _make_batch_source(self) -> Callable[[Array], Tuple[Array, Array, Optional[Array]]]:
         cfg = self.cfg
         bs = cfg.data.batch_size
         if not self.is_image:
-            target_gen = two_dim_data(cfg.data.dataset)
-            source_gen = two_dim_data(cfg.data.source)
-
-            def sample(key):
-                k0, k1 = jax.random.split(key)
-                return source_gen(k0, bs), target_gen(k1, bs), None
-
-            return sample
+            return None  # 2D data is generated inside the fused step
 
         loader = load_cifar10 if cfg.data.dataset == "cifar10" else load_mnist
         try:
@@ -235,19 +239,56 @@ class Trainer:
                 raise
             data, labels = loader(cfg.data.data_dir, train=True, synthetic=True)
             print(f"WARNING: {cfg.data.dataset} not found on disk; using synthetic data")
-        it = infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
+        return infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
 
-        def sample(key):
-            x1_u8, y1 = next(it)
-            k0, k1 = jax.random.split(key)
-            x1 = normalize_images(jnp.asarray(x1_u8))
+    def _make_fused_step(self):
+        """Wrap the raw step so data prep traces into the same XLA program."""
+        cfg = self.cfg
+        bs = cfg.data.batch_size
+        base_step = self._raw_step
+
+        if not self.is_image:
+            target_gen = two_dim_data(cfg.data.dataset)
+            source_gen = two_dim_data(cfg.data.source)
+
+            def fused(state, key):
+                k0, k1, ks = jax.random.split(key, 3)
+                x0 = source_gen(k0, bs)
+                x1 = target_gen(k1, bs)
+                return base_step(state, ks, x0, x1)
+
+            return jax.jit(fused, donate_argnums=(0,))
+
+        def fused_uncond(state, key, x1_u8):
+            k0, k1, ks = jax.random.split(key, 3)
+            x1 = normalize_images(x1_u8)
             if cfg.data.random_flip:
                 x1 = random_hflip(k1, x1)
             x0 = jax.random.normal(k0, x1.shape)
-            y = jnp.asarray(y1) if cfg.model.class_cond else None
-            return x0, x1, y
+            return base_step(state, ks, x0, x1)
 
-        return sample
+        def fused_cond(state, key, x1_u8, y):
+            k0, k1, ks = jax.random.split(key, 3)
+            x1 = normalize_images(x1_u8)
+            if cfg.data.random_flip:
+                x1 = random_hflip(k1, x1)
+            x0 = jax.random.normal(k0, x1.shape)
+            return base_step(state, ks, x0, x1, y, y)
+
+        fn = fused_cond if cfg.model.class_cond else fused_uncond
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            shd = NamedSharding(self.mesh, PartitionSpec("data"))
+            n_data = 2 if cfg.model.class_cond else 1
+            return jax.jit(
+                fn,
+                in_shardings=(rep, rep) + (shd,) * n_data,
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        return jax.jit(fn, donate_argnums=(0,))
 
     # -- training ---------------------------------------------------------
 
@@ -255,15 +296,50 @@ class Trainer:
         cfg = self.cfg
         total = cfg.trainer.total_steps if max_steps is None else max_steps
         start = int(self.state.step)
+        if not hasattr(self, "_fused"):
+            self._fused = self._make_fused_step()
+        fused = self._fused
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            batch_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        else:
+            batch_sharding = None
+
+        def put(batch):
+            if batch is None:
+                return None
+
+            def place(x):
+                x = jnp.asarray(x)
+                return (
+                    jax.device_put(x, batch_sharding)
+                    if batch_sharding is not None
+                    else jax.device_put(x)
+                )
+
+            if cfg.model.class_cond:
+                x, y = batch
+                return place(x), place(y)
+            x = batch[0] if isinstance(batch, tuple) else batch
+            return place(x)
+
+        prefetched = put(next(self._batches)) if self.is_image else None
         t0 = time.perf_counter()
         last_log_t, last_log_step = t0, start
         for i in range(start, total):
-            self.key, data_key, step_key = jax.random.split(self.key, 3)
-            x0, x1, y = self._batches(data_key)
-            if y is not None:
-                self.state, metrics = self.step_fn(self.state, step_key, x0, x1, y, y)
+            self.key, step_key = jax.random.split(self.key)
+            if self.is_image:
+                nxt = put(next(self._batches))  # async: overlaps current step
+                if cfg.model.class_cond:
+                    x1_u8, y = prefetched
+                    self.state, metrics = fused(self.state, step_key, x1_u8, y)
+                else:
+                    self.state, metrics = fused(self.state, step_key, prefetched)
+                prefetched = nxt
             else:
-                self.state, metrics = self.step_fn(self.state, step_key, x0, x1)
+                self.state, metrics = fused(self.state, step_key)
             step = i + 1
             if step % cfg.trainer.log_interval == 0 or step == total:
                 now = time.perf_counter()

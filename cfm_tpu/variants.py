@@ -301,3 +301,41 @@ def make_oneway_dsbm_loss(
         return loss, {"loss": loss}
 
     return loss_fn
+
+
+def ipf_resample_pairs(
+    key: Array,
+    drift_apply: Callable,
+    drift_params: Any,
+    x_start: Array,
+    schedule: Optional[NoiseScheduler] = None,
+    sigma_min: float = 0.1,
+    n_steps: int = 100,
+    reverse: bool = False,
+) -> Tuple[Array, Array]:
+    """IPF-style outer-loop pair regeneration (SF2M/DSBM outer loop,
+    cfm_module.py:1012-1044): simulate the current forward (or backward) SDE
+    from one marginal to synthesize the other, producing the next bridge
+    iteration's training pairs.
+
+    Forward:  dx = f(t, x) dt + g(t) dW   from x0, t: 0 -> 1, returns (x0, x1')
+    Backward: dx = b(t, x) dt + g(t) dW   from x1, integrating the backward
+              drift in reversed time, returns (x0', x1).
+    """
+    sched = schedule or ConstantNoiseScheduler(sigma_min)
+
+    def drift(t, x):
+        tb = jnp.full((x.shape[0],), t, x.dtype)
+        return drift_apply(drift_params, tb, x)
+
+    def diffusion(t, x):
+        return sched.g(jnp.asarray(t)) * jnp.ones_like(x)
+
+    if not reverse:
+        ts = jnp.linspace(0.0, 1.0, n_steps + 1)
+        out = sdeint(drift, diffusion, key, x_start, ts, return_trajectory=False)
+        return x_start, jax.lax.stop_gradient(out.final)
+    # Backward drift is parameterized in forward time; integrate 1 -> 0.
+    ts = jnp.linspace(1.0, 0.0, n_steps + 1)
+    out = sdeint(drift, diffusion, key, x_start, ts, return_trajectory=False)
+    return jax.lax.stop_gradient(out.final), x_start

@@ -194,3 +194,26 @@ def test_onehot_auction_matches_lap():
         _, copt = lap_solve(np.asarray(M))
         ca = float(np.asarray(M)[np.arange(96), p].sum())
         assert abs(ca - copt) / max(copt, 1e-9) < 1e-4
+
+
+def test_sharded_sinkhorn_matches_single_device():
+    """Row-sharded distributed Sinkhorn == single-device solver on the
+    8-device CPU mesh (the batch x batch cost-matrix scaling axis,
+    SURVEY.md section 5)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from cfm_tpu.ops.sharded_sinkhorn import sharded_sinkhorn_plan
+    from cfm_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(k0, (128, 4))
+    x1 = jax.random.normal(k1, (96, 4))
+    plan_sharded = np.asarray(sharded_sinkhorn_plan(mesh, x0, x1, reg=0.1, num_iters=200))
+    a = jnp.full((128,), 1 / 128.0)
+    b = jnp.full((96,), 1 / 96.0)
+    plan_ref = np.asarray(
+        sinkhorn(a, b, sq_euclidean_cost(x0, x1), 0.1, num_iters=200, tol=0.0)
+    )
+    np.testing.assert_allclose(plan_sharded, plan_ref, atol=1e-6)
+    np.testing.assert_allclose(plan_sharded.sum(0), np.asarray(b), atol=1e-6)

@@ -188,3 +188,25 @@ def test_spline_cfm_with_ot_chaining():
     t, xt, ut = m.sample_location_and_conditional_flow(jax.random.fold_in(key, 1), X)
     assert t.shape == (16,) and xt.shape == (16, 3) and ut.shape == (16, 3)
     assert bool(jnp.all(jnp.isfinite(xt))) and bool(jnp.all(jnp.isfinite(ut)))
+
+
+def test_ipf_resample_pairs():
+    from cfm_tpu.schedules import ConstantNoiseScheduler
+    from cfm_tpu.variants import ipf_resample_pairs
+
+    model = MLP(dim=2, w=16)
+    key = jax.random.PRNGKey(9)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    x0 = jax.random.normal(key, (32, 2))
+    rx0, rx1 = ipf_resample_pairs(
+        key, model.apply, params, x0,
+        schedule=ConstantNoiseScheduler(0.2), n_steps=20,
+    )
+    np.testing.assert_array_equal(np.asarray(rx0), np.asarray(x0))
+    assert rx1.shape == x0.shape and bool(jnp.all(jnp.isfinite(rx1)))
+    bx0, bx1 = ipf_resample_pairs(
+        key, model.apply, params, x0,
+        schedule=ConstantNoiseScheduler(0.2), n_steps=20, reverse=True,
+    )
+    np.testing.assert_array_equal(np.asarray(bx1), np.asarray(x0))
+    assert bool(jnp.all(jnp.isfinite(bx0)))
