@@ -239,6 +239,13 @@ class Trainer:
                 raise
             data, labels = loader(cfg.data.data_dir, train=True, synthetic=True)
             print(f"WARNING: {cfg.data.dataset} not found on disk; using synthetic data")
+        if cfg.data.on_device:
+            # Whole dataset to HBM once; batches gathered in-step.
+            self._device_data = jax.device_put(jnp.asarray(data))
+            self._device_labels = (
+                jax.device_put(jnp.asarray(labels)) if cfg.model.class_cond else None
+            )
+            return None
         return infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
 
     def _make_fused_step(self):
@@ -259,28 +266,49 @@ class Trainer:
 
             return jax.jit(fused, donate_argnums=(0,))
 
-        def fused_uncond(state, key, x1_u8):
-            k0, k1, ks = jax.random.split(key, 3)
-            x1 = normalize_images(x1_u8)
-            if cfg.data.random_flip:
-                x1 = random_hflip(k1, x1)
-            x0 = jax.random.normal(k0, x1.shape)
-            return base_step(state, ks, x0, x1)
+        on_device = getattr(self, "_device_data", None) is not None
 
-        def fused_cond(state, key, x1_u8, y):
+        def prep(key, x1_u8):
             k0, k1, ks = jax.random.split(key, 3)
             x1 = normalize_images(x1_u8)
             if cfg.data.random_flip:
                 x1 = random_hflip(k1, x1)
             x0 = jax.random.normal(k0, x1.shape)
-            return base_step(state, ks, x0, x1, y, y)
+            return ks, x0, x1
+
+        if on_device:
+            # Dataset passed as a device-resident argument (zero transfer);
+            # batch indices drawn in-step.
+            def fused_uncond(state, key, dataset):
+                kidx, key = jax.random.split(key)
+                idx = jax.random.randint(kidx, (bs,), 0, dataset.shape[0])
+                ks, x0, x1 = prep(key, dataset[idx])
+                return base_step(state, ks, x0, x1)
+
+            def fused_cond(state, key, dataset, labels):
+                kidx, key = jax.random.split(key)
+                idx = jax.random.randint(kidx, (bs,), 0, dataset.shape[0])
+                ks, x0, x1 = prep(key, dataset[idx])
+                y = labels[idx]
+                return base_step(state, ks, x0, x1, y, y)
+
+        else:
+            def fused_uncond(state, key, x1_u8):
+                ks, x0, x1 = prep(key, x1_u8)
+                return base_step(state, ks, x0, x1)
+
+            def fused_cond(state, key, x1_u8, y):
+                ks, x0, x1 = prep(key, x1_u8)
+                return base_step(state, ks, x0, x1, y, y)
 
         fn = fused_cond if cfg.model.class_cond else fused_uncond
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             rep = NamedSharding(self.mesh, PartitionSpec())
-            shd = NamedSharding(self.mesh, PartitionSpec("data"))
+            # Device-resident datasets replicate (150 MB); streamed uint8
+            # batches shard over the data axis.
+            shd = rep if on_device else NamedSharding(self.mesh, PartitionSpec("data"))
             n_data = 2 if cfg.model.class_cond else 1
             return jax.jit(
                 fn,
@@ -325,12 +353,21 @@ class Trainer:
             x = batch[0] if isinstance(batch, tuple) else batch
             return place(x)
 
-        prefetched = put(next(self._batches)) if self.is_image else None
+        on_device = getattr(self, "_device_data", None) is not None
+        streaming = self.is_image and not on_device
+        prefetched = put(next(self._batches)) if streaming else None
         t0 = time.perf_counter()
         last_log_t, last_log_step = t0, start
         for i in range(start, total):
             self.key, step_key = jax.random.split(self.key)
-            if self.is_image:
+            if on_device:
+                if cfg.model.class_cond:
+                    self.state, metrics = fused(
+                        self.state, step_key, self._device_data, self._device_labels
+                    )
+                else:
+                    self.state, metrics = fused(self.state, step_key, self._device_data)
+            elif streaming:
                 nxt = put(next(self._batches))  # async: overlaps current step
                 if cfg.model.class_cond:
                     x1_u8, y = prefetched
@@ -404,13 +441,17 @@ class Trainer:
         n = n or cfg.eval.num_eval_samples
         self.key, kg, kt, ks = jax.random.split(self.key, 4)
         gen = self.generate(kg, n, method="euler", n_steps=cfg.eval.ode_steps)
+        # NFE of the generation rollout (the reference's {prefix}/nfe metric).
+        nfe = float(cfg.eval.ode_steps)
         if self.is_image:
-            out = {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen))}
+            out = {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen)),
+                   "nfe": nfe}
         else:
             target = two_dim_data(cfg.data.dataset)(kt, n)
             out = {
                 "w1": float(wasserstein(gen, target, power=1)),
                 "w2": float(wasserstein(gen, target, power=2)),
+                "nfe": nfe,
             }
         if self.score_model is not None and cfg.eval.sde:
             sde = self.generate_sde(ks, n, logqp=True)
