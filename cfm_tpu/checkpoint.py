@@ -34,8 +34,12 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, state: TrainState, force: bool = False) -> bool:
-        step = int(state.step)
+    def save(self, state: TrainState, force: bool = False, step: Optional[int] = None) -> bool:
+        """Save when due. Pass ``step`` (host-side counter) to avoid the
+        device sync of reading state.step — on high-latency runtimes that
+        read costs a full round-trip per call."""
+        if step is None:
+            step = int(state.step)
         if not force and (self.save_interval <= 0 or step % self.save_interval != 0):
             return False
         self._mgr.save(step, args=ocp.args.StandardSave(state._asdict()))

@@ -390,7 +390,9 @@ class Trainer:
                 ev = self.evaluate()
                 self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})
                 print("  eval:", {k: round(v, 4) for k, v in ev.items()})
-            self.ckpt.save(self.state)
+            # Host-side step counter: reading state.step would sync the device
+            # every iteration (a full tunnel round-trip on axon).
+            self.ckpt.save(self.state, step=step)
         self.ckpt.save(self.state, force=True)
         return self.state
 
