@@ -86,6 +86,10 @@ class TrainerConfig:
     ckpt_interval: int = 20000       # reference save_step train_cifar10.py:46
     resume: bool = True
     data_parallel: bool = True
+    # Save a generated sample grid every N steps for image runs (0 = off);
+    # the reference's generate_samples at each save (utils_cifar.py:42-73).
+    sample_grid_interval: int = 0
+    sample_grid_n: int = 64
 
 
 @dataclass
@@ -116,11 +120,14 @@ class Config:
 
 
 def _preset_2d(matcher: str, **kw) -> Config:
+    # Lipman Target-FM's path mu_t = t x1 ignores x0: its source MUST be the
+    # standard Gaussian (generation integrates from where training started).
+    source = "gaussian" if matcher == "fm" else "8gaussians"
     return Config(
         name=f"2d_{matcher}",
         model=ModelConfig(kind="mlp", width=64),
         matcher=MatcherConfig(kind=matcher, sigma=kw.pop("sigma", 0.1), **kw),
-        data=DataConfig(dataset="moons", source="8gaussians", batch_size=256),
+        data=DataConfig(dataset="moons", source=source, batch_size=256),
         optim=OptimConfig(lr=2e-3, warmup_steps=0, ema_decay=0.99),
         trainer=TrainerConfig(total_steps=5000, eval_interval=1000,
                               ckpt_interval=5000, data_parallel=False),

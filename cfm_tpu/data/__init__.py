@@ -1,6 +1,7 @@
 """Data: 2-D toy generators, image pipelines, trajectory datasets."""
 
 from .toy import (
+    blobs,
     eight_gaussians,
     gaussian_mixture,
     moons,
@@ -16,6 +17,7 @@ from .toy import (
 )
 
 __all__ = [
+    "blobs",
     "eight_gaussians",
     "gaussian_mixture",
     "moons",

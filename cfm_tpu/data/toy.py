@@ -155,3 +155,14 @@ def two_dim_data(name: str) -> Callable[[Array, int], Array]:
         return _REGISTRY[name]
     except KeyError:
         raise ValueError(f"Unknown 2D dataset: {name!r}; have {sorted(_REGISTRY)}")
+
+
+def blobs(key: Array, n: int, n_centers: int = 3, std: float = 0.5) -> Array:
+    """Isotropic Gaussian blobs (sklearn make_blobs role, SKLearnDataModule)."""
+    k_c, k_comp, k_n = jax.random.split(key, 3)
+    centers = 4.0 * jax.random.normal(jax.random.PRNGKey(7), (n_centers, 2))
+    comp = jax.random.randint(k_comp, (n,), 0, n_centers)
+    return centers[comp] + std * jax.random.normal(k_n, (n, 2))
+
+
+_REGISTRY["blobs"] = blobs

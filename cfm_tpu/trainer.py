@@ -390,6 +390,23 @@ class Trainer:
                 ev = self.evaluate()
                 self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})
                 print("  eval:", {k: round(v, 4) for k, v in ev.items()})
+            if (
+                self.is_image
+                and cfg.trainer.sample_grid_interval
+                and step % cfg.trainer.sample_grid_interval == 0
+            ):
+                from .eval.plotting import image_grid
+
+                self.key, kg = jax.random.split(self.key)
+                imgs = self.generate(kg, cfg.trainer.sample_grid_n,
+                                     method="euler", n_steps=cfg.eval.ode_steps)
+                path = image_grid(
+                    imgs, nrow=8,
+                    save_path=os.path.join(
+                        cfg.trainer.ckpt_dir, cfg.name, f"samples_{step}.png"
+                    ),
+                )
+                print(f"  saved sample grid: {path}")
             # Host-side step counter: reading state.step would sync the device
             # every iteration (a full tunnel round-trip on axon).
             self.ckpt.save(self.state, step=step)
