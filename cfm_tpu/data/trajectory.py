@@ -183,3 +183,15 @@ def load_h5ad_joint_plans(path: str, n_timepoints: int, leaveout: bool = False):
             else None
         )
     return plans, straddle
+
+
+def cycle_population(key: Array, n: int, T: int = 5, noise: float = 0.05) -> Array:
+    """Oscillatory population cycling between two states over time — the
+    CycleDataset role (tnet_dataset.py): timepoints alternate phases around a
+    limit cycle, so marginals at t and t+2 coincide."""
+    k0, k1 = jax.random.split(key)
+    phase0 = jax.random.uniform(k0, (n,), maxval=2 * jnp.pi)
+    ts = jnp.arange(T) * jnp.pi  # half-cycle per timepoint
+    theta = phase0[:, None] + ts[None, :]
+    out = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+    return out + noise * jax.random.normal(k1, (n, T, 2))

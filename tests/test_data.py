@@ -123,3 +123,14 @@ def test_populations_and_resample():
     full = np.concatenate(white)
     np.testing.assert_allclose(full.mean(0), 0.0, atol=1e-6)
     np.testing.assert_allclose(full.std(0), 1.0, atol=1e-2)
+
+
+def test_cycle_population():
+    from cfm_tpu.data.trajectory import cycle_population
+
+    X = cycle_population(jax.random.PRNGKey(3), 64, T=5)
+    assert X.shape == (64, 5, 2)
+    # Half-cycle phase step: marginals two timepoints apart coincide.
+    np.testing.assert_allclose(
+        np.asarray(X[:, 0]).mean(0), np.asarray(X[:, 2]).mean(0), atol=0.1
+    )
