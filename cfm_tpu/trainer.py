@@ -386,6 +386,10 @@ class Trainer:
                 out["steps_per_s"] = sps
                 self.logger.log(step, out)
                 print(f"step {step:7d}  loss {out['loss']:.4f}  {sps:.2f} steps/s")
+                if not np.isfinite(out["loss"]):
+                    # Fail fast instead of burning steps on a diverged run
+                    # (reference's DSBM guard, cfm_module.py:1224-1225).
+                    raise ValueError(f"Loss Not Finite at step {step}: {out['loss']}")
             if cfg.trainer.eval_interval and step % cfg.trainer.eval_interval == 0 and not self.is_image:
                 ev = self.evaluate()
                 self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})

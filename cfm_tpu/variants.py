@@ -339,3 +339,34 @@ def ipf_resample_pairs(
     ts = jnp.linspace(1.0, 0.0, n_steps + 1)
     out = sdeint(drift, diffusion, key, x_start, ts, return_trajectory=False)
     return jax.lax.stop_gradient(out.final), x_start
+
+
+def average_ut(
+    key: Array, x: Array, mu_t: Array, sigma_t, ut: Array, avg_size: int
+) -> Array:
+    """Marginal-averaged velocity target (reference CFMLitModule.average_ut,
+    cfm_module.py:201-214): when the whole batch shares one t, each sample's
+    target becomes the density-weighted average of ``avg_size`` conditional
+    velocities,
+
+        u_bar(x) = sum_j p_t(x | z_j) u_t(x | z_j) / sum_j p_t(x | z_j),
+
+    a lower-variance estimate of the true marginal vector field.
+    """
+    bs = x.shape[0]
+    flat_x = x.reshape(bs, -1)
+    flat_mu = mu_t.reshape(bs, -1)
+    d2 = (
+        jnp.sum(flat_x**2, 1)[:, None]
+        + jnp.sum(flat_mu**2, 1)[None, :]
+        - 2.0 * flat_x @ flat_mu.T
+    )
+    sig2 = jnp.asarray(sigma_t, jnp.float32) ** 2
+    log_pt = -0.5 * d2 / jnp.maximum(sig2, 1e-12)           # (bs, bs)
+    idx = jax.random.randint(key, (bs, avg_size - 1), 0, bs)
+    idx = jnp.concatenate([idx, jnp.arange(bs)[:, None]], axis=1)  # include self
+    log_pt_sub = jnp.take_along_axis(log_pt, idx, axis=1)    # (bs, avg)
+    w = jax.nn.softmax(log_pt_sub, axis=1)                   # normalized weights
+    ut_sub = ut.reshape(bs, -1)[idx]                         # (bs, avg, d)
+    out = jnp.sum(w[:, :, None] * ut_sub, axis=1)
+    return out.reshape(ut.shape)

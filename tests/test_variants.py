@@ -210,3 +210,24 @@ def test_ipf_resample_pairs():
     )
     np.testing.assert_array_equal(np.asarray(bx1), np.asarray(x0))
     assert bool(jnp.all(jnp.isfinite(bx0)))
+
+
+def test_average_ut_reduces_to_identity_for_self_only():
+    from cfm_tpu.variants import average_ut
+
+    key = jax.random.PRNGKey(10)
+    x = jax.random.normal(key, (16, 2))
+    ut = jax.random.normal(jax.random.fold_in(key, 1), (16, 2))
+    out = average_ut(key, x, x, 0.1, ut, avg_size=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ut), rtol=1e-5)
+
+
+def test_average_ut_weights_by_density():
+    from cfm_tpu.variants import average_ut
+
+    # Two far clusters: averaging must stay within each cluster.
+    x = jnp.concatenate([jnp.zeros((8, 2)), 100.0 + jnp.zeros((8, 2))])
+    ut = jnp.concatenate([jnp.ones((8, 2)), -jnp.ones((8, 2))])
+    out = average_ut(jax.random.PRNGKey(0), x, x, 0.5, ut, avg_size=16)
+    np.testing.assert_allclose(np.asarray(out[:8]), 1.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out[8:]), -1.0, atol=1e-4)
