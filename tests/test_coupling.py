@@ -217,3 +217,22 @@ def test_sharded_sinkhorn_matches_single_device():
     )
     np.testing.assert_allclose(plan_sharded, plan_ref, atol=1e-6)
     np.testing.assert_allclose(plan_sharded.sum(0), np.asarray(b), atol=1e-6)
+
+
+def test_pallas_auction_on_tpu():
+    """Exactness of the in-VMEM Pallas auction kernel (TPU only; the CPU CI
+    covers the identical round math via auction_assignment_onehot_xla)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pallas auction kernel needs a TPU backend")
+    from cfm_tpu.ops.native import lap_solve
+    from cfm_tpu.ops.pallas_auction import pallas_auction_assignment
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(0))
+    x0 = jax.random.normal(k0, (128, 3))
+    x1 = jax.random.normal(k1, (128, 3)) + 2.0
+    M = sq_euclidean_cost(x0, x1)
+    p = np.asarray(pallas_auction_assignment(M))
+    assert sorted(p.tolist()) == list(range(128))
+    _, copt = lap_solve(np.asarray(M))
+    ca = float(np.asarray(M)[np.arange(128), p].sum())
+    assert abs(ca - copt) / copt < 1e-5
