@@ -152,3 +152,25 @@ def test_diffeq_layers(key):
     assert net.apply(params, t, x).shape == (4, 3)
     # Scalar t broadcast.
     assert net.apply(params, 0.3, x).shape == (4, 3)
+
+
+def test_fused_gn_silu_matches_flax(key):
+    """The GroupNorm32 jnp path == flax GroupNorm + silu (both CPU)."""
+    import flax.linen as nn_
+
+    from cfm_tpu.ops.pallas_groupnorm import _gn_silu_reference
+
+    x = jax.random.normal(key, (4, 8, 8, 64))
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (64,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (64,)) * 0.1
+    gn = nn_.GroupNorm(num_groups=32, epsilon=1e-5)
+    expected = nn_.silu(gn.apply({"params": {"scale": scale, "bias": bias}}, x))
+    got = _gn_silu_reference(x, scale, bias, 32, 1e-5, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+    # And the VJP of the custom-vjp wrapper agrees with autodiff of the chain.
+    from cfm_tpu.ops.pallas_groupnorm import fused_group_norm_silu
+
+    g1 = jax.grad(lambda x: jnp.sum(fused_group_norm_silu(x, scale, bias, 32) ** 2))(x)
+    g2 = jax.grad(lambda x: jnp.sum(
+        nn_.silu(gn.apply({"params": {"scale": scale, "bias": bias}}, x)) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-4)
