@@ -70,10 +70,11 @@ class GroupNorm32(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        # XLA's own GN+SiLU fusion measures FASTER than a hand-written Pallas
-        # kernel here (0.04 ms vs 0.23 ms at (128,32,32,128) on v5e — see
-        # ops/pallas_groupnorm.py for the experiment), so this stays plain
-        # jnp and lets the compiler fuse.
+        # Plain jnp on purpose: XLA fuses the GN chain INTO its producer/
+        # consumer ops; hand-written Pallas fwd+bwd GN kernels measured
+        # SLOWER in-model (58.2 vs 44.7 ms/train-step at bs128 on v5e)
+        # because pallas_call boundaries break those cross-op fusions.
+        # Full experiment + kernels: ops/pallas_groupnorm.py.
         from ..ops.pallas_groupnorm import _gn_silu_reference
 
         if x.ndim == 4:
