@@ -184,19 +184,25 @@ _DP_B4 = jnp.array(
 
 
 def _dp_step(f: VectorField, t, dt, x, k7_prev):
-    """One dopri5 trial step with FSAL (first-same-as-last) reuse."""
+    """One dopri5 trial step with FSAL (first-same-as-last) reuse.
+
+    Pytree-aware: x may be any pytree (e.g. AugmentedState), enabling
+    adaptive integration of trace-augmented CNF states (the reference's
+    torchdyn dopri5 + augmentation eval path, solver.py:184-216).
+    """
     ks = [k7_prev]  # k1 = previous step's k7
     for i in range(1, 7):
         xi = x
         for j, aij in enumerate(_DP_A[i]):
-            xi = xi + dt * aij * ks[j]
+            xi = _axpy(xi, ks[j], dt * aij)
         ks.append(f(t + _DP_C[i] * dt, xi))
     x5 = x
     x4 = x
     for i in range(7):
-        x5 = x5 + dt * _DP_B5[i] * ks[i]
-        x4 = x4 + dt * _DP_B4[i] * ks[i]
-    return x5, x5 - x4, ks[6], 6  # 6 new evals per step (FSAL)
+        x5 = _axpy(x5, ks[i], dt * _DP_B5[i])
+        x4 = _axpy(x4, ks[i], dt * _DP_B4[i])
+    err = jax.tree.map(lambda a, b: a - b, x5, x4)
+    return x5, err, ks[6], 6  # 6 new evals per step (FSAL)
 
 
 def _odeint_dopri5(
@@ -215,8 +221,13 @@ def _odeint_dopri5(
     protocol (compute_fid.py:81-88).
     """
     def err_norm(err, x_new, x_old):
-        scale = atol + rtol * jnp.maximum(jnp.abs(x_new), jnp.abs(x_old))
-        return jnp.sqrt(jnp.mean(jnp.square(err / scale)))
+        def leaf_sq(e, a, b):
+            scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+            return jnp.mean(jnp.square(e / scale))
+
+        sq = jax.tree.map(leaf_sq, err, x_new, x_old)
+        leaves = jax.tree.leaves(sq)
+        return jnp.sqrt(sum(leaves) / len(leaves))
 
     def solve_segment(x, t0, t1, nfe):
         direction = jnp.sign(t1 - t0)
@@ -244,7 +255,9 @@ def _odeint_dopri5(
             x = jax.tree.map(
                 lambda new, old: jnp.where(accept, new, old), x_new, x
             )
-            k7 = jnp.where(accept, k7_new, k7)
+            k7 = jax.tree.map(
+                lambda new, old: jnp.where(accept, new, old), k7_new, k7
+            )
             done = jnp.abs(t1 - t) <= 1e-12 * jnp.maximum(jnp.abs(t1), 1.0)
             return (t, x, dt_next, k7, steps + 1, done)
 
@@ -260,7 +273,8 @@ def _odeint_dopri5(
     for i in range(n_seg):
         x, nfe = solve_segment(x, ts[i], ts[i + 1], nfe)
         xs.append(x)
-    ys = jnp.stack(xs if return_trajectory else [x0, x], axis=0)
+    stacked = xs if return_trajectory else [x0, x]
+    ys = jax.tree.map(lambda *leaves: jnp.stack(leaves, axis=0), *stacked)
     return ODESolution(ys=ys, nfe=nfe)
 
 

@@ -75,3 +75,27 @@ def test_standard_normal_logprob():
         -1.5 * math.log(2 * math.pi),
         rtol=1e-6,
     )
+
+
+def test_cnf_log_likelihood_adaptive_dopri5():
+    """Pytree-aware dopri5: the trace-augmented CNF state integrates
+    adaptively (the reference's torchdyn dopri5 + augmentation eval path)."""
+    f = lambda t, x: -x
+    key = jax.random.PRNGKey(4)
+    x1 = 0.3 * jax.random.normal(key, (16, 2))
+    ll_adaptive = cnf_log_likelihood(f, x1, n_steps=1, divergence="exact",
+                                     method="dopri5")
+    ll_fixed = cnf_log_likelihood(f, x1, n_steps=400, divergence="exact",
+                                  method="rk4")
+    np.testing.assert_allclose(np.asarray(ll_adaptive), np.asarray(ll_fixed),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_augmented_dopri5_regularizers():
+    c = jnp.array([3.0, 4.0])
+    f = lambda t, x: jnp.broadcast_to(c, x.shape)
+    out = augmented_odeint(
+        f, jnp.zeros((4, 2)), jnp.linspace(0, 1, 2), reg_names=("l2",),
+        method="dopri5",
+    )
+    np.testing.assert_allclose(np.asarray(out.regs["l2"]), 5.0, rtol=1e-4)

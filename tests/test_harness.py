@@ -156,3 +156,25 @@ def test_random_search():
     )
     assert len(trials) == 8
     assert best["objective"] == min(t["objective"] for t in trials)
+
+
+def test_cli_presets_and_train(tmp_path, monkeypatch, capsys):
+    """CLI entry: presets listing and a 2-step train run."""
+    from cfm_tpu import cli
+
+    assert cli.main(["presets"]) == 0
+    out = capsys.readouterr().out
+    assert "cifar10_otcfm" in out and "2d_icfm" in out
+
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main([
+        "train", "2d_icfm",
+        "trainer.total_steps=2", "trainer.log_interval=1",
+        "trainer.eval_interval=0", "trainer.ckpt_interval=2",
+        "data.batch_size=32", "eval.num_eval_samples=64", "eval.ode_steps=5",
+    ])
+    assert rc == 0
+    rc = cli.main(["eval", "2d_icfm", "eval.num_eval_samples=64", "eval.ode_steps=5",
+                   "trainer.eval_interval=0"])
+    assert rc == 0
+    assert cli.main(["bogus"]) == 2
