@@ -169,7 +169,9 @@ def resolve_solver(method: str = "auto", n: int = 0) -> str:
     backend = jax.default_backend()
     if backend == "cpu":
         return "hungarian"
-    if backend in ("tpu", "axon") and 0 < n <= 1024:
+    # The in-VMEM kernel holds ~4 (n, n) f32 temporaries; n=1024 exceeds the
+    # 16 MB VMEM (measured), n<=512 fits with headroom (4.7 ms at n=512).
+    if backend in ("tpu", "axon") and 0 < n <= 512:
         return "pallas"
     return "auction"
 
