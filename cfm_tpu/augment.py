@@ -58,6 +58,82 @@ REGULARIZERS = {
     "squared_l2": squared_l2_reg,
 }
 
+# Jacobian-based regularizers (reference JacobianFrobeniusReg /
+# JacobianDiagFrobeniusReg / JacobianOffDiagFrobeniusReg,
+# augmentation.py:59-103). These need ∂f/∂x, not just dx, so they are
+# computed by :func:`batched_jacobian_regs` rather than the dx-only table
+# above. Names are the keys accepted by ``jac_reg_names``.
+JACOBIAN_REGULARIZERS = ("jac_frobenius", "jac_diag_frobenius", "jac_offdiag_frobenius")
+
+
+def batched_jacobian_regs(
+    f: VectorField,
+    t: Array,
+    x: Array,
+    names: Sequence[str],
+    method: str = "exact",
+    key: Optional[Array] = None,
+    num_probes: int = 1,
+) -> Dict[str, Array]:
+    """Per-sample Jacobian-Frobenius regularizer rates. x: (bs, *dim) -> dict of (bs,).
+
+    - "jac_frobenius":          ||J||_F^2
+    - "jac_diag_frobenius":     sum_i J_ii^2
+    - "jac_offdiag_frobenius":  ||J||_F^2 - sum_i J_ii^2
+
+    ``method="exact"`` materializes the per-sample Jacobian with ``jacfwd``
+    (d forward passes — the reference's autograd minibatch Jacobian,
+    augmentation.py:59-74; fine for 2-D/tabular fields). ``method="hutch"``
+    estimates ||J||_F^2 = E_eps ||J eps||^2 with Rademacher probes (Finlay et
+    al. 2020's scalable FFJORD regularizer) — only valid for
+    "jac_frobenius"; the diag/off-diag split has no unbiased one-probe
+    estimator, matching the reference which computes those exactly.
+    """
+    unknown = set(names) - set(JACOBIAN_REGULARIZERS)
+    if unknown:
+        raise ValueError(f"Unknown jacobian regularizers: {sorted(unknown)}")
+    bs = x.shape[0]
+    flat = x.reshape(bs, -1)
+
+    def per_sample_field(xi):
+        return f(t, xi.reshape((1,) + x.shape[1:])).reshape(-1)
+
+    if method == "exact":
+
+        def per_sample(xi):
+            J = jax.jacfwd(per_sample_field)(xi)  # (d, d)
+            frob = jnp.sum(jnp.square(J))
+            diag = jnp.sum(jnp.square(jnp.diagonal(J)))
+            out = {}
+            if "jac_frobenius" in names:
+                out["jac_frobenius"] = frob
+            if "jac_diag_frobenius" in names:
+                out["jac_diag_frobenius"] = diag
+            if "jac_offdiag_frobenius" in names:
+                out["jac_offdiag_frobenius"] = frob - diag
+            return out
+
+        return jax.vmap(per_sample)(flat)
+    if method == "hutch":
+        if set(names) != {"jac_frobenius"}:
+            raise ValueError(
+                "hutch supports only 'jac_frobenius' (no unbiased diag split)"
+            )
+        assert key is not None, "hutch jacobian reg needs a PRNG key"
+        keys = jax.random.split(key, bs)
+
+        def per_sample(xi, ki):
+            eps = jax.random.rademacher(ki, (num_probes, xi.shape[0]), dtype=xi.dtype)
+
+            def one(e):
+                _, jv = jax.jvp(per_sample_field, (xi,), (e,))
+                return jnp.sum(jnp.square(jv))
+
+            return {"jac_frobenius": jnp.mean(jax.vmap(one)(eps))}
+
+        return jax.vmap(per_sample)(flat, keys)
+    raise ValueError(f"Unknown jacobian reg method: {method}")
+
 
 # --------------------------------------------------------------------------
 # Divergence (trace of Jacobian) estimators
@@ -136,17 +212,27 @@ def make_augmented_field(
     divergence: Optional[str] = None,
     div_key: Optional[Array] = None,
     num_probes: int = 1,
+    jac_reg_names: Sequence[str] = (),
+    jac_method: str = "exact",
 ):
     """Wrap a drift into an augmented field over AugmentedState.
 
     Counterpart of ``AugmentedVectorField`` (:266-303): the returned function
     computes dx once and derives all requested per-sample reg rates plus the
-    instantaneous log-density rate -tr(J) from it.
+    instantaneous log-density rate -tr(J) from it. ``jac_reg_names`` adds the
+    Jacobian-Frobenius family (augmentation.py:59-103) as extra accumulators.
     """
 
     def aug_f(t, state: AugmentedState):
         dx = f(t, state.x)
         d_regs = {name: REGULARIZERS[name](t, state.x, dx) for name in reg_names}
+        if jac_reg_names:
+            d_regs.update(
+                batched_jacobian_regs(
+                    f, t, state.x, jac_reg_names, method=jac_method,
+                    key=div_key, num_probes=num_probes,
+                )
+            )
         if divergence is not None:
             div = batched_divergence(
                 f, t, state.x, method=divergence, key=div_key, num_probes=num_probes
@@ -168,22 +254,28 @@ def augmented_odeint(
     div_key: Optional[Array] = None,
     method: str = "euler",
     num_probes: int = 1,
+    jac_reg_names: Sequence[str] = (),
+    jac_method: str = "exact",
 ):
     """Integrate state + regularizer accumulators along ``ts``.
 
     Returns the final AugmentedState. ``logp`` holds ∫ -tr J dt over the path,
-    the CNF change-of-variables correction.
+    the CNF change-of-variables correction. ``jac_reg_names`` ⊆
+    JACOBIAN_REGULARIZERS integrates the Jacobian-Frobenius family alongside.
     """
     from .integrate import odeint
 
     aug_f = make_augmented_field(
         f, reg_names=reg_names, divergence=divergence, div_key=div_key,
-        num_probes=num_probes,
+        num_probes=num_probes, jac_reg_names=jac_reg_names, jac_method=jac_method,
     )
     init = AugmentedState(
         x=x0,
         logp=jnp.zeros(x0.shape[0], x0.dtype),
-        regs={n: jnp.zeros(x0.shape[0], x0.dtype) for n in reg_names},
+        regs={
+            n: jnp.zeros(x0.shape[0], x0.dtype)
+            for n in tuple(reg_names) + tuple(jac_reg_names)
+        },
     )
     sol = odeint(aug_f, init, ts, method=method, return_trajectory=False)
     return sol.final

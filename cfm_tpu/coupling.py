@@ -30,7 +30,33 @@ import jax.numpy as jnp
 
 from .ops.assignment import auction_assignment, hungarian_assignment, solve_assignment
 from .ops.cost import sq_euclidean_cost
-from .ops.sinkhorn import partial_wasserstein, sinkhorn, sinkhorn_unbalanced
+from .ops.sinkhorn import (
+    emd_annealed,
+    partial_wasserstein,
+    sinkhorn,
+    sinkhorn_unbalanced,
+)
+
+
+def _is_traced(x: jax.Array) -> bool:
+    return isinstance(x, jax.core.Tracer)
+
+
+def _exact_general_plan(
+    M: jax.Array, a: jax.Array, b: jax.Array
+) -> jax.Array:
+    """Exact OT plan for general marginals: host network simplex on concrete
+    inputs (bit-matching ``pot.emd``), ε-annealed Sinkhorn + feasibility
+    rounding on traced inputs (axon TPU runtimes have no host callbacks, so
+    the in-jit path must stay on device; gap ~1e-3 relative)."""
+    if _is_traced(M) or _is_traced(a) or _is_traced(b):
+        return emd_annealed(a, b, M)
+    import numpy as np
+
+    from .ops.native import emd_solve
+
+    plan, _ = emd_solve(np.asarray(a), np.asarray(b), np.asarray(M))
+    return jnp.asarray(plan, jnp.float32)
 
 
 def _plan_from_perm(perm: jax.Array, n: int, m: int) -> jax.Array:
@@ -69,22 +95,35 @@ class OTPlanSampler:
 
     # -- plan construction ---------------------------------------------------
 
-    def get_map(self, x0: jax.Array, x1: jax.Array) -> jax.Array:
-        """OT plan (n, m) for squared-Euclidean cost between minibatches."""
+    def get_map(
+        self,
+        x0: jax.Array,
+        x1: jax.Array,
+        a: Optional[jax.Array] = None,
+        b: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        """OT plan (n, m) for squared-Euclidean cost between minibatches.
+
+        ``a``/``b`` are optional marginal weights (default uniform), matching
+        ``pot.emd(a, b, M)`` generality (reference optimal_transport.py:87):
+        unequal batch sizes and weighted marginals are supported for every
+        method, including "exact".
+        """
         n, m = x0.shape[0], x1.shape[0]
+        uniform_marginals = a is None and b is None
         M = sq_euclidean_cost(x0, x1)
         if self.normalize_cost:
             M = M / jnp.maximum(jnp.max(M), 1e-30)
-        a = jnp.full((n,), 1.0 / n, jnp.float32)
-        b = jnp.full((m,), 1.0 / m, jnp.float32)
+        a = jnp.full((n,), 1.0 / n, jnp.float32) if a is None else a.astype(jnp.float32)
+        b = jnp.full((m,), 1.0 / m, jnp.float32) if b is None else b.astype(jnp.float32)
         if self.method == "exact":
-            if n != m:
-                raise ValueError(
-                    "exact OT with unequal batch sizes is not supported on device; "
-                    "use method='sinkhorn' with a small reg instead"
-                )
-            perm = self._solve_assignment(M)
-            plan = _plan_from_perm(perm, n, m)
+            if n == m and uniform_marginals:
+                # Uniform square case: the optimal plan is a permutation, so
+                # the assignment kernel (Pallas/auction/JV) is the fast path.
+                perm = self._solve_assignment(M)
+                plan = _plan_from_perm(perm, n, m)
+            else:
+                plan = _exact_general_plan(M, a, b)
         elif self.method == "sinkhorn":
             plan = sinkhorn(a, b, M, self.reg, num_iters=self.num_iters)
         elif self.method == "unbalanced":
@@ -207,8 +246,11 @@ def wasserstein(
 ) -> float:
     """Wasserstein-1/2 distance between minibatches (reference :254-303).
 
-    "exact" (default) solves the assignment problem on device (uniform equal
-    marginals make EMD an assignment); "sinkhorn" uses entropic OT cost.
+    "exact" (default) computes the EMD cost: equal batch sizes solve the
+    assignment problem (the plan is a permutation); unequal sizes use the
+    general-marginal exact solver (host network simplex, or on-device
+    annealed Sinkhorn under jit) — matching ``pot.emd2`` on any cloud pair.
+    "sinkhorn" uses the entropic OT cost.
     """
     assert power in (1, 2)
     n, m = x0.shape[0], x1.shape[0]
@@ -216,10 +258,14 @@ def wasserstein(
     if power == 1:
         M = jnp.sqrt(M + 1e-30)
     if method == "exact" or method is None:
-        if n != m:
-            raise ValueError("exact wasserstein requires equal batch sizes on device")
-        perm = solve_assignment(M, solver)
-        ret = jnp.mean(jnp.take_along_axis(M, perm[:, None], axis=1))
+        if n == m:
+            perm = solve_assignment(M, solver)
+            ret = jnp.mean(jnp.take_along_axis(M, perm[:, None], axis=1))
+        else:
+            a = jnp.full((n,), 1.0 / n, jnp.float32)
+            b = jnp.full((m,), 1.0 / m, jnp.float32)
+            plan = _exact_general_plan(M, a, b)
+            ret = jnp.sum(plan * M)
     elif method == "sinkhorn":
         a = jnp.full((n,), 1.0 / n, jnp.float32)
         b = jnp.full((m,), 1.0 / m, jnp.float32)

@@ -63,10 +63,14 @@ def frechet_distance(
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
-    covmean, _ = scipy.linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    covmean = scipy.linalg.sqrtm(sigma1 @ sigma2)
+    if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
+        covmean = covmean[0]
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = scipy.linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+        if isinstance(covmean, tuple):
+            covmean = covmean[0]
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
@@ -142,9 +146,14 @@ def make_tracking_feature_fn(
     return features
 
 
-def inception_feature_fn(weights_path: Optional[str] = None) -> Callable[[Array], Array]:
-    """The pytorch-fid InceptionV3 pool3 feature fn (2048-d), NHWC uint8 in.
+def inception_feature_fn(
+    weights_path: Optional[str] = None, mode: str = "legacy_tensorflow"
+) -> Callable[[Array], Array]:
+    """InceptionV3 pool3 feature fn (2048-d), NHWC uint8 in.
 
+    ``mode``: "legacy_tensorflow" (clean-fid legacy — the reference's
+    headline FID protocol, compute_fid.py:95-103; default) or "pytorch_fid"
+    (the runner's FID, cfm_module.py:474-483). Same trunk weights either way.
     Requires ported weights (npz). Raises with guidance if unavailable.
     """
     from .inception import InceptionV3Features, load_inception_params
@@ -157,7 +166,7 @@ def inception_feature_fn(weights_path: Optional[str] = None) -> Callable[[Array]
             "and set CFM_TPU_INCEPTION_WEIGHTS=<npz_path>. For weight-free "
             "progress tracking use make_tracking_feature_fn instead."
         )
-    model = InceptionV3Features()
+    model = InceptionV3Features(mode=mode)
     params = load_inception_params(weights_path)
 
     def features(x_uint8: Array) -> Array:

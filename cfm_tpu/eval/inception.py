@@ -31,6 +31,39 @@ Array = jax.Array
 _BN_EPS = 1e-3
 
 
+def tf1_resize_bilinear(x: Array, out_h: int, out_w: int) -> Array:
+    """TF1 ``tf.image.resize_bilinear(align_corners=False)`` in JAX, NHWC.
+
+    The clean-fid ``legacy_tensorflow`` FID mode (the reference's actual
+    evaluation mode, /root/reference/examples/images/cifar10/
+    compute_fid.py:95-103) resizes with the ORIGINAL TF1 kernel: source
+    coordinate = dest * (in/out) with NO half-pixel-center shift — different
+    from torch/jax ``align_corners=False`` bilinear (which uses
+    (dest+0.5)*scale-0.5). FID values are sensitive to this; bit-parity
+    against ``tf.compat.v1.image.resize_bilinear`` is pinned in
+    tests/test_fid.py.
+    """
+    n, in_h, in_w, c = x.shape
+    x = x.astype(jnp.float32)
+
+    def axis_coords(in_size, out_size):
+        scale = in_size / out_size
+        src = jnp.arange(out_size, dtype=jnp.float32) * scale
+        lo = jnp.floor(src).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, in_size - 1)
+        frac = src - lo.astype(jnp.float32)
+        return lo, hi, frac
+
+    lo_h, hi_h, fh = axis_coords(in_h, out_h)
+    lo_w, hi_w, fw = axis_coords(in_w, out_w)
+    top = jnp.take(x, lo_h, axis=1)
+    bot = jnp.take(x, hi_h, axis=1)
+    rows = top + (bot - top) * fh[None, :, None, None]
+    left = jnp.take(rows, lo_w, axis=2)
+    right = jnp.take(rows, hi_w, axis=2)
+    return left + (right - left) * fw[None, None, :, None]
+
+
 def _avg_pool_nocountpad(x: Array, window: int = 3) -> Array:
     """3x3 stride-1 avg pool, SAME padding, count_include_pad=False."""
     ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
@@ -155,14 +188,35 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3Features(nn.Module):
-    """uint8 NHWC -> (N, 2048) pool3 features."""
+    """uint8 NHWC -> (N, 2048) pool3 features.
+
+    ``mode`` selects the FID preprocessing convention (same trunk weights —
+    pytorch-fid's checkpoint IS the ported 2015-12-05 TF graph weights):
+
+    - "pytorch_fid": /255, torch-style half-pixel bilinear resize to 299,
+      then 2x-1 (normalize_input=True) — the runner's FID
+      (reference cfm_module.py:474-483).
+    - "legacy_tensorflow": TF1 resize_bilinear(align_corners=False) on raw
+      0..255 values, then (x-128)/128 — clean-fid's legacy mode, the
+      reference's headline FID protocol (compute_fid.py:95-103). The two
+      modes give systematically different FIDs; published numbers are
+      comparable only within a mode.
+    """
+
+    mode: str = "pytorch_fid"
 
     @nn.compact
     def __call__(self, x_uint8: Array) -> Array:
-        x = x_uint8.astype(jnp.float32) / 255.0
-        n = x.shape[0]
-        x = jax.image.resize(x, (n, 299, 299, x.shape[-1]), method="bilinear")
-        x = 2.0 * x - 1.0  # normalize_input=True
+        n = x_uint8.shape[0]
+        if self.mode == "legacy_tensorflow":
+            x = tf1_resize_bilinear(x_uint8.astype(jnp.float32), 299, 299)
+            x = (x - 128.0) / 128.0
+        elif self.mode == "pytorch_fid":
+            x = x_uint8.astype(jnp.float32) / 255.0
+            x = jax.image.resize(x, (n, 299, 299, x.shape[-1]), method="bilinear")
+            x = 2.0 * x - 1.0  # normalize_input=True
+        else:
+            raise ValueError(f"Unknown FID mode: {self.mode}")
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
 

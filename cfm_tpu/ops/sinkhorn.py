@@ -158,3 +158,109 @@ def partial_wasserstein(
 
     K, _, _ = jax.lax.while_loop(cond, body, (K0, jnp.asarray(jnp.inf), 0))
     return K
+
+
+def round_to_feasible(plan: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Round a near-feasible plan onto the transport polytope U(a, b).
+
+    Altschuler–Weed–Rigollet (NeurIPS 2017) rounding: clip row sums to at
+    most ``a``, then column sums to at most ``b``, then distribute the
+    remaining mass as the rank-one outer product of the marginal deficits.
+    The result satisfies both marginals exactly (up to float32), moving at
+    most ||residual||_1 mass. Fully jittable; used to turn the entropic
+    ε-annealed plan into an exactly-feasible coupling on device.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    plan = plan.astype(jnp.float32)
+    row = jnp.sum(plan, axis=1)
+    plan = plan * jnp.minimum(a / jnp.maximum(row, 1e-38), 1.0)[:, None]
+    col = jnp.sum(plan, axis=0)
+    plan = plan * jnp.minimum(b / jnp.maximum(col, 1e-38), 1.0)[None, :]
+    err_a = a - jnp.sum(plan, axis=1)
+    err_b = b - jnp.sum(plan, axis=0)
+    total_err = jnp.sum(err_a)
+    correction = err_a[:, None] * err_b[None, :] / jnp.maximum(total_err, 1e-38)
+    return plan + jnp.where(total_err > 1e-38, correction, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_phases", "inner_iters", "polish_iters")
+)
+def emd_annealed(
+    a: jax.Array,
+    b: jax.Array,
+    M: jax.Array,
+    num_phases: int = 10,
+    inner_iters: int = 60,
+    reg_final_rel: float = 1e-4,
+    polish_iters: int = 3000,
+    tol: float = 1e-6,
+) -> jax.Array:
+    """Near-exact OT plan for GENERAL marginals, entirely on device.
+
+    The jit-compatible counterpart of the host network simplex
+    (native/emd.cc): log-domain Sinkhorn with a geometric ε-annealing
+    schedule (warm-started potentials across phases, the classic ε-scaling
+    trick), a tolerance-controlled polish loop at the final ε, then
+    :func:`round_to_feasible`. The result has exact marginals; the transport
+    cost error is dominated by the ε_final entropic bias plus the rounding
+    of the residual marginal error — measured relative gap ≤ ~1.2e-3 vs the
+    exact network simplex on random minibatch clouds up to 256×256 (see
+    tests/test_coupling.py) — accurate enough for coupling resampling and
+    W2 estimates where the reference uses ``pot.emd``
+    (torchcfm/optimal_transport.py:87).
+
+    Unlike :func:`sinkhorn`, supports n != m and non-uniform weights under
+    ``jit`` — this is the traced-mode path of ``OTPlanSampler.get_map``.
+    """
+    a = a.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    M = M.astype(jnp.float32)
+    loga = jnp.log(jnp.maximum(a, 1e-38))
+    logb = jnp.log(jnp.maximum(b, 1e-38))
+    scale = jnp.maximum(jnp.max(M) - jnp.min(M), 1e-12)
+    reg0 = scale / 4.0
+    reg_final = scale * reg_final_rel
+    decay = (reg_final / reg0) ** (1.0 / jnp.maximum(num_phases - 1, 1))
+
+    def phase(carry, _):
+        f, g, reg = carry
+
+        def inner(carry2, _):
+            f, g = carry2
+            f = reg * (loga - logsumexp((g[None, :] - M) / reg, axis=1))
+            g = reg * (logb - logsumexp((f[:, None] - M) / reg, axis=0))
+            return (f, g), None
+
+        (f, g), _ = jax.lax.scan(inner, (f, g), None, length=inner_iters)
+        return (f, g, reg * decay), None
+
+    f0 = jnp.zeros_like(loga)
+    g0 = jnp.zeros_like(logb)
+    (f, g, reg_last), _ = jax.lax.scan(
+        phase, (f0, g0, reg0), None, length=num_phases
+    )
+    reg_used = reg_last / decay  # reg of the final executed phase
+
+    # Polish at the final ε until the pre-rounding row-marginal L1 error is
+    # below tol (rounding moves ~err mass at ~max(M) cost each, so marginal
+    # convergence — not ε — dominates the final cost gap).
+    def polish_body(state):
+        f, g, _, it = state
+        f = reg_used * (loga - logsumexp((g[None, :] - M) / reg_used, axis=1))
+        g = reg_used * (logb - logsumexp((f[:, None] - M) / reg_used, axis=0))
+        log_plan = (f[:, None] + g[None, :] - M) / reg_used
+        row = jnp.exp(logsumexp(log_plan, axis=1))
+        err = jnp.sum(jnp.abs(row - a))
+        return f, g, err, it + 1
+
+    def polish_cond(state):
+        _, _, err, it = state
+        return jnp.logical_and(err > tol, it < polish_iters)
+
+    f, g, _, _ = jax.lax.while_loop(
+        polish_cond, polish_body, (f, g, jnp.asarray(jnp.inf), 0)
+    )
+    plan = jnp.exp((f[:, None] + g[None, :] - M) / reg_used)
+    return round_to_feasible(plan, a, b)

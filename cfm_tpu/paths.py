@@ -105,9 +105,28 @@ class _CoupledMixin:
 
     ot_sampler: OTPlanSampler
 
+    def without_coupling(self):
+        """A view of this matcher whose sampling skips the OT re-pairing.
+
+        Used when the coupling is applied externally — e.g. the data-parallel
+        train step replicates the (B, B) plan solve across devices and feeds
+        pre-coupled pairs (cfm_tpu.train.make_data_parallel_train_step) —
+        while the path math (mu_t/sigma_t/u_t, compute_lambda) stays this
+        matcher's own.
+        """
+        import copy
+
+        clone = copy.copy(self)
+        clone._skip_coupling = True
+        return clone
+
     def sample_location_and_conditional_flow(
         self, key: Array, x0: Array, x1: Array, t=None, return_noise: bool = False
     ):
+        if getattr(self, "_skip_coupling", False):
+            return ConditionalFlowMatcher.sample_location_and_conditional_flow(
+                self, key, x0, x1, t, return_noise
+            )
         plan_key, path_key = jax.random.split(key)
         x0, x1 = self.ot_sampler.sample_plan(plan_key, x0, x1)
         return ConditionalFlowMatcher.sample_location_and_conditional_flow(
@@ -125,8 +144,13 @@ class _CoupledMixin:
         return_noise: bool = False,
     ):
         """Label-carrying coupled sampling (ref :274-316, :489-556)."""
-        plan_key, path_key = jax.random.split(key)
-        x0, x1, y0, y1 = self.ot_sampler.sample_plan_with_labels(plan_key, x0, x1, y0, y1)
+        if getattr(self, "_skip_coupling", False):
+            path_key = key
+        else:
+            plan_key, path_key = jax.random.split(key)
+            x0, x1, y0, y1 = self.ot_sampler.sample_plan_with_labels(
+                plan_key, x0, x1, y0, y1
+            )
         out = ConditionalFlowMatcher.sample_location_and_conditional_flow(
             self, path_key, x0, x1, t, return_noise
         )

@@ -192,6 +192,72 @@ def make_data_parallel_step(
     return step
 
 
+def make_data_parallel_train_step(
+    matcher,
+    apply_fn: Callable[..., Array],
+    optimizer: optax.GradientTransformation,
+    mesh: jax.sharding.Mesh,
+    data_axis: str = "data",
+    **step_kwargs,
+) -> Callable:
+    """Data-parallel train step with REPLICATED global OT coupling.
+
+    The (B, B) coupling solve (auction/annealed-Sinkhorn while_loops with
+    scalar global reductions) does not partition cleanly: under plain
+    jit+NamedSharding, GSPMD resolves its mixed shardings by gathering the
+    whole subcomputation onto one device ("Involuntary full
+    rematerialization ... to {maximal device=0}"), serializing every chip
+    behind device 0. Here the coupling is explicitly pinned to REPLICATED
+    sharding — each chip runs the identical small solve (~0.3 ms at B=128 vs
+    ~45 ms UNet fwd/bwd, so <1% redundant compute) — and only the model
+    fwd/bwd is batch-sharded. The plan solve sees the GLOBAL batch, keeping
+    the reference single-process semantics (train_cifar10.py), unlike the
+    per-shard local-coupling mode (parallel.mesh.local_coupling_step) which
+    mirrors DDP's per-rank plans (train_cifar10_ddp.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    coupled = hasattr(matcher, "ot_sampler")
+    inner_matcher = matcher.without_coupling() if coupled else matcher
+    inner = make_train_step(inner_matcher, apply_fn, optimizer, **step_kwargs)
+    replicated = NamedSharding(mesh, PartitionSpec())
+    batch_sharded = NamedSharding(mesh, PartitionSpec(data_axis))
+    wsc = jax.lax.with_sharding_constraint
+
+    def step_fn(state, key, x0, x1, y0=None, y1=None):
+        if coupled:
+            kc, key = jax.random.split(key)
+            x0r = wsc(x0, replicated)
+            x1r = wsc(x1, replicated)
+            if y0 is not None or y1 is not None:
+                y0r = wsc(y0, replicated) if y0 is not None else None
+                y1r = wsc(y1, replicated) if y1 is not None else None
+                x0c, x1c, y0c, y1c = matcher.ot_sampler.sample_plan_with_labels(
+                    kc, x0r, x1r, y0r, y1r
+                )
+                y0 = wsc(y0c, batch_sharded) if y0c is not None else None
+                y1 = wsc(y1c, batch_sharded) if y1c is not None else None
+            else:
+                x0c, x1c = matcher.ot_sampler.sample_plan(kc, x0r, x1r)
+            x0 = wsc(x0c, batch_sharded)
+            x1 = wsc(x1c, batch_sharded)
+        return inner(state, key, x0, x1, y0, y1)
+
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(replicated, replicated, batch_sharded, batch_sharded),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def step(state, key, x0, x1):
+        x0 = jax.device_put(x0, batch_sharded)
+        x1 = jax.device_put(x1, batch_sharded)
+        return jitted(state, key, x0, x1)
+
+    return step
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> jax.sharding.Mesh:
     """1-D device mesh over all (or the first n) local devices."""
     devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]

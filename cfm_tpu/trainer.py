@@ -200,7 +200,21 @@ class Trainer:
         self._raw_step = step_fn
         if cfg.trainer.data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
-            self.step_fn = make_data_parallel_step(step_fn, self.mesh)
+            # Replicated-coupling dp step: the global (B, B) OT solve is
+            # pinned replicated (GSPMD otherwise serializes it onto one
+            # device); model fwd/bwd is batch-sharded.
+            from .train import make_data_parallel_train_step
+
+            self.step_fn = make_data_parallel_train_step(
+                self.matcher,
+                self.model.apply,
+                self.optimizer,
+                self.mesh,
+                ema_decay=cfg.optim.ema_decay,
+                class_conditional=cfg.model.class_cond,
+                score_apply_fn=self.score_model.apply if self.score_model else None,
+                train_mode=cfg.model.kind == "unet" and cfg.model.dropout > 0,
+            )
         else:
             self.mesh = None
             self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
@@ -424,8 +438,15 @@ class Trainer:
         return p["flow"] if self.score_model else p
 
     def generate(self, key: Array, n: int, method: Optional[str] = None,
-                 n_steps: Optional[int] = None, y: Optional[Array] = None) -> Array:
-        """Sample from the learned flow by ODE integration from the source."""
+                 n_steps: Optional[int] = None, y: Optional[Array] = None,
+                 return_solution: bool = False):
+        """Sample from the learned flow by ODE integration from the source.
+
+        ``return_solution=True`` returns the full ODESolution (with the
+        solver-counted NFE — the reference's `{prefix}/nfe` metric,
+        runner/src/models/components/solver.py:96,121-141) instead of just
+        the final samples.
+        """
         cfg = self.cfg
         method = method or cfg.eval.ode_method
         n_steps = n_steps or cfg.eval.ode_steps
@@ -436,7 +457,8 @@ class Trainer:
             x0 = two_dim_data(cfg.data.source)(key, n)
         f = vector_field_from_model(self.model.apply, self._flow_params(), y=y)
         ts = jnp.linspace(0.0, 1.0, n_steps + 1) if method != "dopri5" else jnp.array([0.0, 1.0])
-        return odeint(f, x0, ts, method=method, return_trajectory=False).final
+        sol = odeint(f, x0, ts, method=method, return_trajectory=False)
+        return sol if return_solution else sol.final
 
     def generate_sde(self, key: Array, n: int, n_steps: Optional[int] = None,
                      logqp: bool = False):
@@ -463,9 +485,15 @@ class Trainer:
         cfg = self.cfg
         n = n or cfg.eval.num_eval_samples
         self.key, kg, kt, ks = jax.random.split(self.key, 4)
-        gen = self.generate(kg, n, method="euler", n_steps=cfg.eval.ode_steps)
-        # NFE of the generation rollout (the reference's {prefix}/nfe metric).
-        nfe = float(cfg.eval.ode_steps)
+        # Eval integrates with the configured method (dopri5 included — dense
+        # output makes the adaptive rollout one while_loop) and logs the
+        # solver-counted NFE, not a constant (reference solver.py:96,121-141).
+        sol = self.generate(
+            kg, n, method=cfg.eval.ode_method, n_steps=cfg.eval.ode_steps,
+            return_solution=True,
+        )
+        gen = sol.final
+        nfe = float(sol.nfe)
         if self.is_image:
             out = {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen)),
                    "nfe": nfe}

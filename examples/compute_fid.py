@@ -40,6 +40,12 @@ def main() -> None:
     p.add_argument("--batch_size_fid", type=int, default=1024)
     p.add_argument("--tol", type=float, default=1e-5)
     p.add_argument("--step", type=int, default=None, help="checkpoint step (default latest)")
+    p.add_argument(
+        "--mode", default="legacy_tensorflow",
+        choices=["legacy_tensorflow", "pytorch_fid"],
+        help="FID preprocessing convention; legacy_tensorflow is the "
+        "reference's headline protocol (compute_fid.py:95-103)",
+    )
     args = p.parse_args()
 
     from cfm_tpu.config import load_config
@@ -75,9 +81,10 @@ def main() -> None:
             ts = jnp.linspace(0.0, 1.0, args.integration_steps + 1)
             sol = odeint(f, x0, ts, method=args.integration_method,
                          return_trajectory=False)
-        img = sol.final
+        from cfm_tpu.eval.protocol import quantize_to_uint8
+
         # uint8 quantization exactly like the reference (compute_fid.py:90).
-        return np.asarray(jnp.clip(img * 127.5 + 128, 0, 255).astype(jnp.uint8)), sol.nfe
+        return np.asarray(quantize_to_uint8(sol.final)), sol.nfe
 
     gen_images = []
     key = jax.random.PRNGKey(0)
@@ -103,8 +110,8 @@ def main() -> None:
 
     try:
         from cfm_tpu.eval.fid import inception_feature_fn
-        feature_fn = inception_feature_fn()
-        feat_kind = "inception"
+        feature_fn = inception_feature_fn(mode=args.mode)
+        feat_kind = f"inception[{args.mode}]"
     except FileNotFoundError:
         feature_fn = make_tracking_feature_fn((32, 32, 3))
         feat_kind = "tracking (NOT comparable to published FID)"

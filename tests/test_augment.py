@@ -11,6 +11,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cfm_tpu.augment import (
     augmented_odeint,
@@ -99,3 +100,57 @@ def test_augmented_dopri5_regularizers():
         method="dopri5",
     )
     np.testing.assert_allclose(np.asarray(out.regs["l2"]), 5.0, rtol=1e-4)
+
+
+def test_jacobian_frobenius_linear_field_oracle():
+    """Jacobian-Frobenius family on f(x) = A x: J = A everywhere, so the
+    [0,1] integrals equal ||A||_F^2, sum_i A_ii^2, and their difference
+    analytically (reference augmentation.py:59-103)."""
+    A = jnp.array([[1.0, 2.0, -1.0], [0.5, -3.0, 0.0], [2.0, 1.0, 4.0]])
+    f = lambda t, x: x @ A.T
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    final = augmented_odeint(
+        f,
+        x0,
+        jnp.linspace(0.0, 1.0, 11),
+        jac_reg_names=(
+            "jac_frobenius",
+            "jac_diag_frobenius",
+            "jac_offdiag_frobenius",
+        ),
+    )
+    frob = float(jnp.sum(A**2))
+    diag = float(jnp.sum(jnp.diag(A) ** 2))
+    np.testing.assert_allclose(np.asarray(final.regs["jac_frobenius"]), frob, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(final.regs["jac_diag_frobenius"]), diag, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(final.regs["jac_offdiag_frobenius"]), frob - diag, rtol=1e-5
+    )
+
+
+def test_jacobian_frobenius_hutch_unbiased():
+    """Hutchinson ||J||_F^2 estimate is unbiased: many probes converge to the
+    exact value on a linear field (Finlay et al. 2020 estimator)."""
+    from cfm_tpu.augment import batched_jacobian_regs
+
+    A = jnp.array([[1.0, 2.0], [-0.5, 3.0]])
+    f = lambda t, x: x @ A.T
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    out = batched_jacobian_regs(
+        f, 0.0, x, ("jac_frobenius",), method="hutch",
+        key=jax.random.PRNGKey(2), num_probes=256,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["jac_frobenius"]), float(jnp.sum(A**2)), rtol=0.15
+    )
+
+
+def test_jacobian_reg_unknown_name_raises():
+    from cfm_tpu.augment import batched_jacobian_regs
+
+    with pytest.raises(ValueError):
+        batched_jacobian_regs(
+            lambda t, x: x, 0.0, jnp.zeros((2, 2)), ("nope",)
+        )

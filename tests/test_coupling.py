@@ -107,14 +107,46 @@ def test_sinkhorn_small_reg_approaches_exact():
     assert cost_sink < cost_exact * 1.2 + 1e-3
 
 
-def test_unbalanced_and_partial_finite():
-    M = jax.random.uniform(jax.random.PRNGKey(7), (16, 16))
-    a = b = jnp.full((16,), 1 / 16)
-    for reg_m in (1.0, (1.0, 10.0)):
-        pi = sinkhorn_unbalanced(a, b, M, reg=0.1, reg_m=reg_m)
-        assert bool(jnp.all(jnp.isfinite(pi))) and float(pi.sum()) > 0
-    pi = partial_wasserstein(a, b, M, reg=0.1, mass=0.5)
-    assert bool(jnp.all(jnp.isfinite(pi)))
+def _fixtures():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "ot_oracle.npz")
+    return np.load(path)
+
+
+def test_sinkhorn_matches_float64_oracle():
+    """Log-domain f32 while_loop Sinkhorn == committed float64 scaling-form
+    oracle plans (tools/gen_ot_fixtures.py), the reference's POT-pinning test
+    pattern (/root/reference/tests/test_optimal_transport.py:32-41)."""
+    fx = _fixtures()
+    M = sq_euclidean_cost(jnp.asarray(fx["sink_x0"]), jnp.asarray(fx["sink_x1"]))
+    a = jnp.full((32,), 1 / 32.0)
+    b = jnp.full((48,), 1 / 48.0)
+    for reg in (0.05, 0.5):
+        pi = sinkhorn(a, b, M, reg=reg, num_iters=5000, tol=0.0)
+        np.testing.assert_allclose(
+            np.asarray(pi), fx[f"sink_plan_reg{reg}"], atol=1e-4
+        )
+
+
+def test_unbalanced_matches_float64_oracle():
+    fx = _fixtures()
+    M = sq_euclidean_cost(jnp.asarray(fx["unb_x0"]), jnp.asarray(fx["unb_x1"]))
+    a = b = jnp.full((24,), 1 / 24.0)
+    pi = sinkhorn_unbalanced(a, b, M, reg=0.1, reg_m=1.0, num_iters=5000, tol=0.0)
+    np.testing.assert_allclose(np.asarray(pi), fx["unb_plan_regm1"], atol=1e-4)
+    pi = sinkhorn_unbalanced(
+        a, b, M, reg=0.1, reg_m=(1.0, 10.0), num_iters=5000, tol=0.0
+    )
+    np.testing.assert_allclose(np.asarray(pi), fx["unb_plan_regm_pair"], atol=1e-4)
+
+
+def test_partial_matches_float64_oracle():
+    fx = _fixtures()
+    M = sq_euclidean_cost(jnp.asarray(fx["unb_x0"]), jnp.asarray(fx["unb_x1"]))
+    a = b = jnp.full((24,), 1 / 24.0)
+    pi = partial_wasserstein(a, b, M, reg=0.1, mass=0.5, num_iters=5000)
+    np.testing.assert_allclose(np.asarray(pi), fx["part_plan_mass0.5"], atol=1e-4)
     np.testing.assert_allclose(float(pi.sum()), 0.5, atol=1e-4)
     assert bool(jnp.all(pi.sum(1) <= np.asarray(a) + 1e-6))
 
@@ -145,10 +177,78 @@ def test_unknown_method_raises():
         OTPlanSampler(method="nope")
 
 
-def test_exact_unequal_batches_raises():
+def test_exact_general_marginals_vs_lp_oracle():
+    """get_map with unequal batch sizes / weighted marginals == the committed
+    HiGHS LP plans (pot.emd semantics, reference optimal_transport.py:87).
+    Concrete inputs run the native network simplex host path."""
+    fx = _fixtures()
     sampler = OTPlanSampler(method="exact")
-    with pytest.raises(ValueError):
-        sampler.get_map(jnp.zeros((4, 2)), jnp.zeros((6, 2)))
+    for name in ("sq_uniform", "rect_uniform", "rect_uniform2"):
+        x0 = jnp.asarray(fx[f"exact_{name}_x0"], jnp.float32)
+        x1 = jnp.asarray(fx[f"exact_{name}_x1"], jnp.float32)
+        pi = np.asarray(sampler.get_map(x0, x1))
+        # Cost must match the LP optimum; the plan itself matches wherever the
+        # optimum is unique (generic random instances).
+        M = np.asarray(sq_euclidean_cost(x0, x1), np.float64)
+        np.testing.assert_allclose(
+            (pi * M).sum(), fx[f"exact_{name}_cost"], rtol=2e-5
+        )
+        np.testing.assert_allclose(pi.sum(1), fx[f"exact_{name}_a"], atol=1e-6)
+        np.testing.assert_allclose(pi.sum(0), fx[f"exact_{name}_b"], atol=1e-6)
+        np.testing.assert_allclose(pi, fx[f"exact_{name}_plan"], atol=1e-5)
+    for name in ("sq_weighted", "rect_weighted"):
+        x0 = jnp.asarray(fx[f"exact_{name}_x0"], jnp.float32)
+        x1 = jnp.asarray(fx[f"exact_{name}_x1"], jnp.float32)
+        a = jnp.asarray(fx[f"exact_{name}_a"], jnp.float32)
+        b = jnp.asarray(fx[f"exact_{name}_b"], jnp.float32)
+        pi = np.asarray(sampler.get_map(x0, x1, a=a, b=b))
+        M = np.asarray(sq_euclidean_cost(x0, x1), np.float64)
+        np.testing.assert_allclose(
+            (pi * M).sum(), fx[f"exact_{name}_cost"], rtol=2e-5
+        )
+        np.testing.assert_allclose(pi, fx[f"exact_{name}_plan"], atol=1e-5)
+
+
+def test_exact_general_marginals_on_device_jit():
+    """Under jit (traced inputs) the general-marginal exact path runs the
+    ε-annealed Sinkhorn + feasibility rounding on device: marginals exact,
+    cost within 0.5% of the LP optimum."""
+    fx = _fixtures()
+    sampler = OTPlanSampler(method="exact")
+    for name in ("rect_uniform", "rect_weighted"):
+        x0 = jnp.asarray(fx[f"exact_{name}_x0"], jnp.float32)
+        x1 = jnp.asarray(fx[f"exact_{name}_x1"], jnp.float32)
+        a = jnp.asarray(fx[f"exact_{name}_a"], jnp.float32)
+        b = jnp.asarray(fx[f"exact_{name}_b"], jnp.float32)
+        pi = np.asarray(jax.jit(sampler.get_map)(x0, x1, a, b))
+        M = np.asarray(sq_euclidean_cost(x0, x1), np.float64)
+        cost_opt = float(fx[f"exact_{name}_cost"])
+        assert (pi * M).sum() <= cost_opt * 1.005 + 1e-7, name
+        np.testing.assert_allclose(pi.sum(1), np.asarray(a), atol=2e-6)
+        np.testing.assert_allclose(pi.sum(0), np.asarray(b), atol=2e-6)
+
+
+def test_wasserstein_unequal_clouds():
+    """wasserstein() on unequal batch sizes == sqrt(LP optimal cost)."""
+    from cfm_tpu.coupling import wasserstein
+
+    fx = _fixtures()
+    x0 = jnp.asarray(fx["exact_rect_uniform_x0"], jnp.float32)
+    x1 = jnp.asarray(fx["exact_rect_uniform_x1"], jnp.float32)
+    w2 = float(wasserstein(x0, x1, method="exact", power=2))
+    np.testing.assert_allclose(
+        w2, np.sqrt(float(fx["exact_rect_uniform_cost"])), rtol=2e-5
+    )
+
+
+def test_sample_trajectory_unequal_not_needed_but_plan_general():
+    """sample_plan works end to end on an unequal pair (n != m)."""
+    k0, k1, kp = jax.random.split(jax.random.PRNGKey(12), 3)
+    x0 = jax.random.normal(k0, (20, 2))
+    x1 = jax.random.normal(k1, (30, 2))
+    sampler = OTPlanSampler(method="exact")
+    rx0, rx1 = sampler.sample_plan(kp, x0, x1)
+    assert rx0.shape == (20, 2) and rx1.shape == (20, 2)
 
 
 def test_coupling_under_jit():

@@ -117,3 +117,124 @@ def test_inception_weight_port_roundtrip(tmp_path):
     # And the module accepts the restored tree.
     out = m.apply(restored, x)
     assert out.shape == (1, 2048)
+
+
+def test_tf1_resize_bilinear_matches_tensorflow():
+    """Bit-parity of the legacy-TF resize against actual TF (in this image).
+
+    clean-fid's legacy_tensorflow FID (the reference's headline protocol,
+    compute_fid.py:95-103) hinges on TF1 resize semantics — src = dst*scale,
+    no half-pixel shift. Skipped where tensorflow isn't installed."""
+    tf = pytest.importorskip("tensorflow")
+    from cfm_tpu.eval.inception import tf1_resize_bilinear
+
+    rng = np.random.default_rng(0)
+    for (h, w, oh, ow) in [(32, 32, 299, 299), (28, 28, 299, 299)]:
+        x = rng.integers(0, 256, (2, h, w, 3)).astype(np.float32)
+        ours = np.asarray(tf1_resize_bilinear(jnp.asarray(x), oh, ow))
+        theirs = tf.compat.v1.image.resize_bilinear(
+            tf.constant(x), (oh, ow), align_corners=False
+        ).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_pytorch_fid_resize_matches_torch():
+    """jax.image.resize bilinear (half-pixel) == torch F.interpolate
+    align_corners=False — the pytorch-fid preprocessing (cfm_module.py:474-483)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(
+        jax.image.resize(jnp.asarray(x), (2, 299, 299, 3), method="bilinear")
+    )
+    theirs = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=(299, 299),
+            mode="bilinear",
+            align_corners=False,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+def test_fid_uint8_quantization_protocol():
+    """The generation->uint8 step of the FID protocol: x*127.5+128, clipped
+    (reference compute_fid.py:90). Pinned on exact grid values."""
+    from cfm_tpu.eval.protocol import quantize_to_uint8
+
+    x = jnp.asarray([-1.0, -0.5, 0.0, 0.5, 1.0, -1.2, 1.2])
+    q = np.asarray(quantize_to_uint8(x))
+    np.testing.assert_array_equal(q, np.asarray([0, 64, 128, 191, 255, 0, 255], np.uint8))
+
+
+def test_legacy_vs_pytorch_fid_modes_differ():
+    """The two preprocessing modes must NOT be interchangeable — different
+    resize + normalization give different features for the same weights."""
+    from cfm_tpu.eval.inception import InceptionV3Features
+
+    x = jnp.asarray(
+        np.random.default_rng(2).integers(0, 256, (2, 32, 32, 3)), jnp.uint8
+    )
+    key = jax.random.PRNGKey(0)
+    params = InceptionV3Features(mode="pytorch_fid").init(key, x[:1])
+    f_pt = InceptionV3Features(mode="pytorch_fid").apply(params, x)
+    f_tf = InceptionV3Features(mode="legacy_tensorflow").apply(params, x)
+    assert f_pt.shape == (2, 2048) and f_tf.shape == (2, 2048)
+    # Random-init features attenuate input deltas; the preprocessing itself
+    # must differ decisively (TF1 vs half-pixel resize grid + /128 vs /127.5).
+    assert float(jnp.max(jnp.abs(f_pt - f_tf))) > 0
+    from cfm_tpu.eval.inception import tf1_resize_bilinear
+
+    xf = x.astype(jnp.float32)
+    r_tf = tf1_resize_bilinear(xf, 299, 299)
+    r_pt = jax.image.resize(xf, (2, 299, 299, 3), method="bilinear")
+    assert float(jnp.max(jnp.abs(r_tf - r_pt))) > 1.0
+
+
+def test_inception_trunk_parity_vs_torch_mirror():
+    """The flax trunk and an independent torch implementation produce the
+    same 2048-d features from IDENTICAL (random) weights — pinning conv
+    layout, padding, folded-BN and pooling conventions of the port without
+    the real checkpoint. 299x299 input isolates the trunk (resize is a
+    no-op; preprocessing parity is tested separately)."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    from torch_inception_mirror import TorchInceptionTrunk, load_flax_params
+
+    from cfm_tpu.eval.inception import InceptionV3Features
+
+    rng = np.random.default_rng(3)
+    x_uint8 = rng.integers(0, 256, (2, 299, 299, 3)).astype(np.uint8)
+
+    model = InceptionV3Features(mode="pytorch_fid")
+    params = model.init(jax.random.PRNGKey(7), jnp.asarray(x_uint8[:1]))
+    # Randomize the folded-BN buffers too (init leaves mean=0/var=1).
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params["params"])
+    for k in list(flat):
+        if k[-1] in ("bn_mean", "bn_bias"):
+            flat[k] = jnp.asarray(rng.normal(0, 0.1, flat[k].shape), jnp.float32)
+        elif k[-1] == "bn_var":
+            flat[k] = jnp.asarray(rng.uniform(0.5, 1.5, flat[k].shape), jnp.float32)
+    params = {"params": flax.traverse_util.unflatten_dict(flat)}
+
+    feats_jax = np.asarray(model.apply(params, jnp.asarray(x_uint8)))
+
+    mirror = TorchInceptionTrunk().eval()
+    load_flax_params(mirror, params)
+    xn = torch.from_numpy(x_uint8.astype(np.float32) / 255.0 * 2.0 - 1.0).permute(
+        0, 3, 1, 2
+    )
+    with torch.no_grad():
+        feats_torch = mirror(xn).numpy()
+
+    assert feats_jax.shape == feats_torch.shape == (2, 2048)
+    np.testing.assert_allclose(feats_jax, feats_torch, atol=1e-4)

@@ -112,3 +112,60 @@ def test_odeint_under_jit_and_vmap():
         return odeint(f, x0, jnp.linspace(0.0, 1.0, 51), method="rk4").final
 
     np.testing.assert_allclose(np.asarray(run(jnp.ones((4, 2)))), np.exp(-1.0), rtol=1e-6)
+
+
+def test_dopri5_dense_output_101_points():
+    """101-point adaptive rollout (the reference eval protocol,
+    runner/src/models/cfm_module.py:404) runs as ONE while_loop with
+    4th-order dense output: interior points accurate, NFE far below 100
+    steps' worth."""
+    f = lambda t, x: -x
+    x0 = jnp.ones((4, 3))
+    ts = jnp.linspace(0.0, 1.0, 101)
+    sol = jax.jit(lambda x: odeint(f, x, ts, method="dopri5"))(x0)
+    ref = np.exp(-np.asarray(ts))[:, None, None]
+    assert sol.ys.shape == (101, 4, 3)
+    np.testing.assert_allclose(np.asarray(sol.ys), ref * np.ones((101, 4, 3)),
+                               atol=2e-5)
+    # Solver-counted NFE: a handful of adaptive steps, not 101 segments.
+    assert int(sol.nfe) < 60, int(sol.nfe)
+
+
+def test_dopri5_nfe_regression():
+    """NFE accounting matches torchdiffeq's: 2 startup evals (Hairer initial
+    step selection) + 6 per attempted step (FSAL). Pinned values guard the
+    controller (torchdiffeq itself is not installable in this image —
+    constants safety=0.9, exponent -1/5, clamp [0.2, 10] match its dopri5)."""
+    f = lambda t, x: -x
+    sol = odeint(f, jnp.ones((4,)), jnp.array([0.0, 1.0]), method="dopri5")
+    nfe = int(sol.nfe)
+    assert (nfe - 2) % 6 == 0
+    assert 14 <= nfe <= 44, nfe  # linear decay: a few accepted steps
+
+
+def test_dopri5_dense_output_nonuniform_grid():
+    f = lambda t, x: jnp.cos(t) * x
+    ts = jnp.array([0.0, 0.05, 0.3, 0.31, 0.9, 1.0])
+    sol = odeint(f, jnp.ones((2,)), ts, method="dopri5")
+    ref = np.exp(np.sin(np.asarray(ts)))
+    np.testing.assert_allclose(np.asarray(sol.ys[:, 0]), ref, atol=2e-5)
+
+
+def test_dopri5_dense_output_reverse_grid():
+    f = lambda t, x: -x
+    ts = jnp.linspace(1.0, 0.0, 11)
+    sol = odeint(f, jnp.full((2,), float(np.exp(-1))), ts, method="dopri5")
+    ref = np.exp(-np.asarray(ts))
+    np.testing.assert_allclose(np.asarray(sol.ys[:, 0]), ref, atol=2e-5)
+
+
+def test_dopri5_pytree_dense_output():
+    """Adaptive dense output over a pytree state (augmented/CNF channels)."""
+    f = lambda t, s: (-s[0], jnp.ones_like(s[1]))
+    s0 = (jnp.ones((2,)), jnp.zeros((1,)))
+    sol = odeint(f, s0, jnp.linspace(0.0, 1.0, 11), method="dopri5")
+    assert sol.ys[0].shape == (11, 2) and sol.ys[1].shape == (11, 1)
+    np.testing.assert_allclose(float(sol.ys[0][-1, 0]), np.exp(-1), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sol.ys[1][:, 0]), np.linspace(0, 1, 11), atol=1e-5
+    )

@@ -144,3 +144,71 @@ def test_local_coupling_shard_map_step():
     state, metrics = step(state, ks, x0, x1)
     assert int(state.step) == 1
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_replicated_coupling_data_parallel_step():
+    """make_data_parallel_train_step: the global OT coupling runs replicated
+    (every device solves the same plan — no GSPMD gather-to-one-device), the
+    model fwd/bwd is batch-sharded. Loss must match the single-device step
+    bit-for-bit on the same inputs/keys (the coupling and path math are
+    deterministic in the key)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    from cfm_tpu import ExactOptimalTransportConditionalFlowMatcher
+    from cfm_tpu.train import make_data_parallel_train_step
+
+    matcher = ExactOptimalTransportConditionalFlowMatcher(sigma=0.1)
+    model = MLP(dim=2, w=32)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=1e-3, warmup_steps=10)
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    batch = 8 * n_dev
+
+    dp_state = init_train_state(params, opt)
+    dp_step = make_data_parallel_train_step(matcher, model.apply, opt, mesh)
+
+    # Single-device oracle doing the SAME decomposition (couple with kc, then
+    # uncoupled step with key) so the PRNG streams line up. Fresh param
+    # copies: dp_step donates its state and would delete shared buffers.
+    sd_state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+    uncoupled = matcher.without_coupling()
+    sd_inner = jax.jit(make_train_step(uncoupled, model.apply, opt))
+
+    key, k0, k1, ks = jax.random.split(key, 4)
+    x0 = eight_gaussians(k0, batch)
+    x1 = sample_moons(k1, batch)
+
+    dp_state, dp_metrics = dp_step(dp_state, ks, x0, x1)
+
+    kc, kstep = jax.random.split(ks)
+    x0c, x1c = matcher.ot_sampler.sample_plan(kc, x0, x1)
+    sd_state, sd_metrics = sd_inner(sd_state, kstep, x0c, x1c)
+
+    assert int(dp_state.step) == 1
+    np.testing.assert_allclose(
+        float(dp_metrics["loss"]), float(sd_metrics["loss"]), rtol=1e-5
+    )
+
+
+def test_without_coupling_preserves_path_math():
+    """matcher.without_coupling() keeps mu/sigma/u_t and compute_lambda but
+    skips the OT re-pairing: with identity-friendly inputs the uncoupled
+    sample equals the base-class formulas."""
+    from cfm_tpu import SchrodingerBridgeConditionalFlowMatcher
+
+    m = SchrodingerBridgeConditionalFlowMatcher(sigma=0.5)
+    mu = m.without_coupling()
+    key = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    x1 = jax.random.normal(jax.random.PRNGKey(2), (16, 2))
+    t, xt, ut = mu.sample_location_and_conditional_flow(key, x0, x1)
+    # Same key, same draw: the uncoupled output must be reproducible and use
+    # the SB path (sigma_t > 0 noise scale differs from plain CFM).
+    t2, xt2, ut2 = mu.sample_location_and_conditional_flow(key, x0, x1)
+    np.testing.assert_array_equal(np.asarray(xt), np.asarray(xt2))
+    np.testing.assert_array_equal(np.asarray(ut), np.asarray(ut2))
+    # And the original matcher still couples (different stream split).
+    t3, xt3, ut3 = m.sample_location_and_conditional_flow(key, x0, x1)
+    assert not np.array_equal(np.asarray(xt), np.asarray(xt3))

@@ -1,0 +1,106 @@
+"""Data-parallel scaling table on a spoofed CPU mesh (functional validation).
+
+Runs the replicated-coupling OT-CFM train step (the flagship dp mode,
+cfm_tpu.train.make_data_parallel_train_step) at 1/2/4/8 virtual devices with
+the per-device batch held constant, and records steps/s. CAVEAT: virtual CPU
+devices share the same host cores, so this measures SPMD program overhead and
+correctness of the sharding, NOT real scaling — the real 1->8 chip table
+needs a v5e-8 slice (ROADMAP). What this does establish: the compiled dp
+program contains no GSPMD gather-to-one-device serialization (the round-1
+"involuntary full rematerialization" is gone — warnings are captured and the
+run fails if any appear).
+
+Usage: python tools/scaling_table.py [--devices 8] [--per-device-batch 16]
+Writes results to stdout as a JSON list.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+_CHILD = """
+import io, json, sys, time, contextlib
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+
+from cfm_tpu import ExactOptimalTransportConditionalFlowMatcher
+from cfm_tpu.models import MLP
+from cfm_tpu.train import (
+    init_train_state, make_optimizer, make_data_parallel_train_step,
+)
+
+n_dev = int(sys.argv[1])
+per_dev_batch = int(sys.argv[2])
+devices = jax.devices()[:n_dev]
+assert len(devices) == n_dev
+mesh = jax.sharding.Mesh(np.array(devices), ("data",))
+
+model = MLP(dim=2, w=64)
+key = jax.random.PRNGKey(0)
+params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+opt = make_optimizer(lr=1e-3, warmup_steps=0)
+state = init_train_state(params, opt)
+matcher = ExactOptimalTransportConditionalFlowMatcher(sigma=0.0)
+step = make_data_parallel_train_step(matcher, model.apply, opt, mesh)
+
+batch = per_dev_batch * n_dev
+k0, k1, ks = jax.random.split(jax.random.PRNGKey(1), 3)
+x0 = jax.random.normal(k0, (batch, 2))
+x1 = jax.random.normal(k1, (batch, 2))
+
+stderr_buf = io.StringIO()
+with contextlib.redirect_stderr(stderr_buf):
+    state, m = step(state, ks, x0, x1)  # compile
+    float(m["loss"])
+warnings = stderr_buf.getvalue()
+assert "Involuntary full rematerialization" not in warnings, warnings
+
+n_steps = 50
+t0 = time.perf_counter()
+for _ in range(n_steps):
+    ks, k = jax.random.split(ks)
+    state, m = step(state, k, x0, x1)
+loss = float(m["loss"])
+dt = time.perf_counter() - t0
+assert loss == loss
+print(json.dumps({"devices": n_dev, "global_batch": batch,
+                  "steps_per_s": round(n_steps / dt, 2)}))
+"""
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--per-device-batch", type=int, default=16)
+    args = p.parse_args()
+
+    results = []
+    n = 1
+    while n <= args.devices:
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.devices}"
+        ).strip()
+        out = subprocess.run(
+            [sys.executable, "-c", _CHILD, str(n), str(args.per_device_batch)],
+            capture_output=True, text=True, env=env, timeout=560,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if out.returncode != 0:
+            print(out.stderr[-2000:], file=sys.stderr)
+            raise SystemExit(f"scaling run at {n} devices failed")
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        n *= 2
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
