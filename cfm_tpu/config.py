@@ -42,6 +42,9 @@ class ModelConfig:
     class_cond: bool = False
     num_classes: int = 10
     use_checkpoint: bool = False
+    # Remat policy when use_checkpoint: None (save nothing) | "dots" |
+    # "dots_no_batch" (see models/unet.UNetModel.checkpoint_policy).
+    checkpoint_policy: Optional[str] = None
     bf16: bool = True
 
 
@@ -182,8 +185,20 @@ def available_presets() -> List[str]:
 
 
 def load_config(preset: Optional[str] = None, overrides: Sequence[str] = ()) -> Config:
-    """Compose a preset with ``key.path=value`` overrides."""
-    cfg = _PRESETS[preset]() if preset else Config()
+    """Compose a preset (or a YAML config file) with ``key.path=value`` overrides.
+
+    ``preset`` is either a registered preset name or a path to a ``.yaml`` /
+    ``.yml`` file — the YAML tier of the reference's config system
+    (runner/configs/**, SURVEY.md section 5): a YAML file may name a base
+    preset via a top-level ``preset:`` key (the Hydra ``defaults:`` role) and
+    override any nested field; CLI dotted overrides then apply on top, so
+    precedence is preset < YAML < command line, matching Hydra's compose
+    order (experiment overlay < command-line override).
+    """
+    if preset and (preset.endswith((".yaml", ".yml")) or "/" in preset):
+        cfg = _load_yaml_config(preset)
+    else:
+        cfg = _PRESETS[preset]() if preset else Config()
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"Override must be key=value, got {ov!r}")
@@ -192,7 +207,56 @@ def load_config(preset: Optional[str] = None, overrides: Sequence[str] = ()) -> 
     return cfg
 
 
+def _flatten(d: Dict[str, Any], prefix: str = "") -> List[Tuple[str, Any]]:
+    out: List[Tuple[str, Any]] = []
+    for k, v in d.items():
+        path = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.extend(_flatten(v, path))
+        else:
+            out.append((path, v))
+    return out
+
+
+def _load_yaml_config(path: str) -> Config:
+    """Build a Config from a YAML file (optionally based on a preset)."""
+    import yaml
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh) or {}
+    if not isinstance(doc, dict):
+        raise ValueError(f"YAML config must be a mapping, got {type(doc).__name__}")
+    base = doc.pop("preset", None)
+    cfg = _PRESETS[base]() if base else Config()
+    for dotted, value in _flatten(doc):
+        _apply_value(cfg, dotted, value)
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    """Write a Config as YAML (round-trips through ``load_config(path)``)."""
+    import yaml
+
+    def clean(v):
+        if isinstance(v, tuple):
+            return [clean(x) for x in v]
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        return v
+
+    with open(path, "w") as fh:
+        yaml.safe_dump(clean(cfg.to_dict()), fh, sort_keys=False)
+
+
 def _apply_override(cfg: Any, path: str, raw: str) -> None:
+    try:
+        value = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = raw  # bare string
+    _apply_value(cfg, path, value)
+
+
+def _apply_value(cfg: Any, path: str, value: Any) -> None:
     parts = path.split(".")
     obj = cfg
     for p in parts[:-1]:
@@ -203,10 +267,6 @@ def _apply_override(cfg: Any, path: str, raw: str) -> None:
     if not hasattr(obj, leaf):
         raise AttributeError(f"No config field {leaf!r} in {path!r}")
     current = getattr(obj, leaf)
-    try:
-        value = ast.literal_eval(raw)
-    except (ValueError, SyntaxError):
-        value = raw  # bare string
     if current is not None and not isinstance(value, type(current)):
         # Coerce numerics (e.g. "1e-4" -> float field) and tuples from lists.
         if isinstance(current, float) and isinstance(value, int):

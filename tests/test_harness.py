@@ -178,3 +178,77 @@ def test_cli_presets_and_train(tmp_path, monkeypatch, capsys):
                    "trainer.eval_interval=0"])
     assert rc == 0
     assert cli.main(["bogus"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# YAML config tier (reference runner/configs/**; VERDICT round-1 item 10)
+# ---------------------------------------------------------------------------
+
+
+def test_yaml_config_compose_and_precedence(tmp_path):
+    import yaml
+
+    from cfm_tpu.config import load_config
+
+    p = tmp_path / "exp.yaml"
+    p.write_text(
+        "preset: cifar10_otcfm\n"
+        "optim:\n  lr: 1.0e-3\n"
+        "trainer:\n  total_steps: 123\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.name == "cifar10_otcfm"
+    assert cfg.optim.lr == 1e-3            # YAML overrides preset
+    assert cfg.trainer.total_steps == 123
+    assert cfg.model.num_channels == 128   # preset value survives
+    # CLI overrides YAML.
+    cfg2 = load_config(str(p), ["optim.lr=5e-4"])
+    assert cfg2.optim.lr == 5e-4
+
+
+def test_yaml_config_round_trip(tmp_path):
+    from cfm_tpu.config import load_config, save_config
+
+    cfg = load_config("2d_otcfm", ["trainer.total_steps=77"])
+    out = tmp_path / "saved.yaml"
+    save_config(cfg, str(out))
+    back = load_config(str(out))
+    assert back.to_dict() == cfg.to_dict()
+
+
+def test_yaml_config_bad_field_raises(tmp_path):
+    import pytest
+
+    from cfm_tpu.config import load_config
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("optim:\n  nonexistent_knob: 3\n")
+    with pytest.raises(AttributeError):
+        load_config(str(p))
+
+
+def test_yaml_example_configs_load():
+    import glob
+    import os
+
+    from cfm_tpu.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "experiment")
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert paths, "no example YAML configs found"
+    for p in paths:
+        cfg = load_config(p)
+        assert cfg.trainer.total_steps > 0
+
+
+def test_cli_train_yaml_config(tmp_path):
+    from cfm_tpu.cli import main
+
+    p = tmp_path / "quick.yaml"
+    p.write_text(
+        "preset: 2d_icfm\n"
+        "trainer:\n  total_steps: 5\n  eval_interval: 1000\n"
+        f"  ckpt_dir: {tmp_path / 'ckpt'}\n"
+        "eval:\n  num_eval_samples: 64\n"
+    )
+    assert main(["train", str(p), "trainer.log_interval=1000"]) == 0
