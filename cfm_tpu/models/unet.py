@@ -17,8 +17,11 @@ checkpointing — but the implementation is TPU-native, not a translation:
 - **remat, not autograd.Function.** ``use_checkpoint=True`` wraps each
   ResBlock/Attention in ``nn.remat`` (= jax.checkpoint), the XLA-native form
   of the reference's manual CheckpointFunction (nn.py:108-153).
-- **Attention** over the <=16x16=256 spatial tokens is a plain fused QKV
-  einsum — XLA fuses softmax(QK^T)V at this size; no flash kernel needed.
+- **Attention** over the <=16x16=256 spatial tokens runs through a fused
+  Pallas kernel on TPU (ops/pallas_attention.py): the whole (S, S) softmax
+  stays in VMEM and the backward recomputes it, eliminating the O(S^2) HBM
+  logits/weights tensors XLA's composition materializes. Off-TPU it is the
+  identical-math jnp composition.
 """
 
 from __future__ import annotations
@@ -29,6 +32,8 @@ from typing import Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from cfm_tpu.ops.pallas_attention import fused_attention
 
 Array = jax.Array
 
@@ -217,15 +222,13 @@ class AttentionBlock(nn.Module):
 
         tokens = GroupNorm32()(x).reshape(n, h * w, c)
         qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32)(tokens)
-        q, k, v = jnp.split(qkv.reshape(n, h * w, 3, heads, head_dim), 3, axis=2)
-        q, k, v = q.squeeze(2), k.squeeze(2), v.squeeze(2)  # (n, s, heads, hd)
+        qkv5 = qkv.reshape(n, h * w, 3, heads, head_dim)
 
+        # Fused Pallas attention on TPU (no O(S^2) HBM tensors, recompute
+        # backward); identical-math jnp composition elsewhere — see
+        # ops/pallas_attention.py for the traffic analysis that motivated it.
         scale = 1.0 / math.sqrt(head_dim)
-        logits = jnp.einsum(
-            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        weights = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("nhqk,nkhd->nqhd", weights, v).reshape(n, h * w, c)
+        out = fused_attention(qkv5, scale).reshape(n, h * w, c)
         out = nn.Dense(
             c,
             kernel_init=nn.initializers.zeros,
@@ -261,6 +264,13 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     dtype: jnp.dtype = jnp.float32
+    # Remat policy when use_checkpoint=True: None = save nothing (recompute
+    # the whole block in backward, the reference checkpoint() semantics,
+    # nn.py:108-153); "dots" = save conv/matmul outputs and recompute only
+    # the elementwise/GN chains (jax.checkpoint_policies.checkpoint_dots) —
+    # on an HBM-bound step this trades idle-MXU recompute for activation
+    # traffic and can be net-faster, see bench notes.
+    checkpoint_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, t: Array, x: Array, y: Optional[Array] = None, *, train: bool = False) -> Array:
@@ -271,8 +281,17 @@ class UNetModel(nn.Module):
         if t.ndim == 0:
             t = jnp.full((x.shape[0],), t)
 
-        Res = nn.remat(ResBlock, static_argnums=(3,)) if self.use_checkpoint else ResBlock
-        Attn = nn.remat(AttentionBlock) if self.use_checkpoint else AttentionBlock
+        if self.use_checkpoint:
+            policies = {
+                None: None,
+                "dots": jax.checkpoint_policies.checkpoint_dots,
+                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }
+            policy = policies[self.checkpoint_policy]
+            Res = nn.remat(ResBlock, static_argnums=(3,), policy=policy)
+            Attn = nn.remat(AttentionBlock, policy=policy)
+        else:
+            Res, Attn = ResBlock, AttentionBlock
         heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
 
         time_embed_dim = self.model_channels * 4
@@ -414,6 +433,7 @@ def UNetModelWrapper(
     dropout: float = 0.0,
     resblock_updown: bool = False,
     dtype: jnp.dtype = jnp.float32,
+    checkpoint_policy: Optional[str] = None,
 ) -> UNetModel:
     """Convenience constructor mirroring the reference wrapper (unet.py:858-924).
 
@@ -455,6 +475,7 @@ def UNetModelWrapper(
         use_scale_shift_norm=use_scale_shift_norm,
         resblock_updown=resblock_updown,
         dtype=dtype,
+        checkpoint_policy=checkpoint_policy,
     )
 
 

@@ -86,6 +86,7 @@ def build_model(cfg: Config):
             class_cond=m.class_cond,
             num_classes=m.num_classes,
             use_checkpoint=m.use_checkpoint,
+            checkpoint_policy=m.checkpoint_policy,
             dtype=jnp.bfloat16 if m.bf16 else jnp.float32,
         )
     raise ValueError(f"Unknown model kind: {m.kind}")

@@ -174,3 +174,67 @@ def test_fused_gn_silu_matches_flax(key):
     g2 = jax.grad(lambda x: jnp.sum(
         nn_.silu(gn.apply({"params": {"scale": scale, "bias": bias}}, x)) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-4)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas attention (ops/pallas_attention.py)
+# ---------------------------------------------------------------------------
+
+
+def _rand_qkv(key, n, s, h, d, dtype):
+    return jax.random.normal(key, (n, s, 3, h, d), dtype=jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_attention_interpret_matches_reference(key, dtype):
+    """Pallas kernel math (interpret mode, runs on CPU) == the jnp
+    composition, forward and VJP."""
+    from cfm_tpu.ops import pallas_attention as pa
+
+    qkv = _rand_qkv(key, 2, 256, 2, 64, dtype)
+    scale = 1.0 / 8.0
+    ref = pa._attn_reference(qkv, scale)
+    refg = jax.grad(lambda a: jnp.sum(pa._attn_reference(a, scale) ** 2))(qkv)
+    old = pa.INTERPRET
+    pa.INTERPRET = True
+    try:
+        got = pa.fused_attention(qkv, scale)
+        gotg = jax.grad(lambda a: jnp.sum(pa.fused_attention(a, scale) ** 2))(qkv)
+    finally:
+        pa.INTERPRET = old
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=tol)
+    np.testing.assert_allclose(
+        np.asarray(gotg, np.float32), np.asarray(refg, np.float32), atol=tol * 20)
+
+
+def test_fused_attention_fallback_grads(key):
+    """Off-TPU (and for unaligned shapes) the custom-vjp wrapper must equal
+    plain autodiff of the composition."""
+    from cfm_tpu.ops import pallas_attention as pa
+
+    qkv = _rand_qkv(key, 2, 100, 3, 17, jnp.float32)  # unaligned -> fallback
+    scale = 0.3
+    f1 = lambda a: jnp.sum(jnp.sin(pa.fused_attention(a, scale)))
+    f2 = lambda a: jnp.sum(jnp.sin(pa._attn_reference(a, scale)))
+    np.testing.assert_allclose(float(f1(qkv)), float(f2(qkv)), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f1)(qkv)), np.asarray(jax.grad(f2)(qkv)), atol=1e-6)
+
+
+def test_fused_attention_on_tpu(key):
+    if jax.default_backend() == "cpu":
+        pytest.skip("pallas attention kernel needs a TPU backend")
+    from cfm_tpu.ops import pallas_attention as pa
+
+    qkv = _rand_qkv(key, 4, 256, 4, 64, jnp.bfloat16)
+    scale = 0.125
+    got = pa.fused_attention(qkv, scale)
+    ref = pa._attn_reference(qkv, scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=3e-2)
+    g1 = jax.grad(lambda a: jnp.sum(pa.fused_attention(a, scale) ** 2))(qkv)
+    g2 = jax.grad(lambda a: jnp.sum(pa._attn_reference(a, scale) ** 2))(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g1, np.float32), np.asarray(g2, np.float32), atol=0.3)
