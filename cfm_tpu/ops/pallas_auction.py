@@ -157,3 +157,165 @@ def auction_assignment_onehot_xla(cost: jax.Array, num_phases: int = 12) -> jax.
          jnp.zeros((), jnp.int32)),
     )
     return jnp.argmax(A, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Row-tiled auction with compact state: n = 1024..4096 (round-1 VERDICT #7).
+#
+# The dense kernel above holds a one-hot assignment matrix A (n, n) plus
+# per-round (n, n) temporaries in VMEM, which caps it at n = 512. This
+# variant replaces A with COMPACT state — prices (1, n) f32 and a column
+# owner map (1, n) int32 — and runs each bidding round as a fori_loop over
+# row tiles of the benefit matrix, so per-round temporaries are (T, n)
+# instead of (n, n):
+#
+# - n <= 1024: benefit stays VMEM-resident (4 MB f32), tiles are slices.
+# - n >= 2048: benefit lives in HBM (memory_space=ANY) and each round
+#   DMAs row tiles into a VMEM scratch buffer (pltpu.make_async_copy) —
+#   per-round HBM traffic n*n*4 bytes, overlapped round-to-round by the
+#   hardware prefetcher.
+#
+# Assignment invariant: a row owns at most one column (it bids only while
+# unassigned and wins at most one column per round), so "owner" alone
+# determines the permutation; the row->column map is rebuilt per tile by a
+# dense compare + min-reduction (scatter-free, Mosaic-friendly).
+# ---------------------------------------------------------------------------
+
+
+def _make_tiled_kernel(n: int, tile: int, stream: bool):
+    nt = n // tile
+
+    def kernel(benefit_ref, eps0_ref, eps_final_ref, out_ref,
+               price_ref, owner_ref, tilebuf_ref, copy_sem):
+        eps0 = eps0_ref[0]
+        eps_final = eps_final_ref[0]
+        price_ref[:] = jnp.zeros((1, n), jnp.float32)
+        owner_ref[:] = jnp.full((1, n), -1, jnp.int32)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+        row_local = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 0)
+        ones_col_f = jnp.ones((tile, 1), jnp.float32)
+        ones_col_i = jnp.ones((tile, 1), jnp.int32)
+
+        def load_tile(ti):
+            if stream:
+                cp = pltpu.make_async_copy(
+                    benefit_ref.at[pl.ds(ti * tile, tile), :],
+                    tilebuf_ref,
+                    copy_sem,
+                )
+                cp.start()
+                cp.wait()
+                return tilebuf_ref[:]
+            return benefit_ref[pl.ds(ti * tile, tile), :]
+
+        def make_tile_bids(eps):
+            def tile_bids(ti, carry):
+                win_bid, win_row = carry                        # (1, n) each
+                rows = load_tile(ti)                            # (T, n)
+                price = price_ref[:]
+                owner = owner_ref[:]
+                grow = row_local + ti * tile                    # global row ids
+                # Row r is assigned iff it owns some column (owner[j] == r).
+                owns = owner * ones_col_i == grow
+                assigned = jnp.max(owns.astype(jnp.int32), axis=1, keepdims=True) > 0
+                values = rows - price                           # (T, n)
+                v1 = jnp.max(values, axis=1, keepdims=True)
+                is_best = values >= v1
+                jbest = jnp.min(jnp.where(is_best, col_ids, n), axis=1, keepdims=True)
+                first_best = col_ids == jbest                   # (T, n) one-hot
+                v2 = jnp.max(jnp.where(first_best, _NEG, values), axis=1, keepdims=True)
+                pbest = jnp.sum(jnp.where(first_best, price * ones_col_f, 0.0),
+                                axis=1, keepdims=True)
+                bid = pbest + (v1 - v2) + eps
+                B = jnp.where(jnp.logical_and(first_best, jnp.logical_not(assigned)),
+                              bid, _NEG)                        # (T, n)
+                tile_best = jnp.max(B, axis=0, keepdims=True)   # (1, n)
+                is_win = jnp.logical_and(B >= tile_best, B > _NEG)
+                tile_row = jnp.min(jnp.where(is_win, grow, n), axis=0, keepdims=True)
+                better = tile_best > win_bid                    # earlier tile wins ties
+                win_bid = jnp.where(better, tile_best, win_bid)
+                win_row = jnp.where(better, tile_row, win_row)
+                return win_bid, win_row
+
+            return tile_bids
+
+        def cond(state):
+            eps, rounds, owned = state
+            return jnp.logical_and(owned < n, rounds < 200 * n + 20000)
+
+        def body(state):
+            eps, rounds, _ = state
+            win_bid = jnp.full((1, n), _NEG, jnp.float32)
+            win_row = jnp.full((1, n), -1, jnp.int32)
+            win_bid, win_row = jax.lax.fori_loop(
+                0, nt, make_tile_bids(eps), (win_bid, win_row)
+            )
+            has = win_bid > _NEG
+            owner_ref[:] = jnp.where(has, win_row, owner_ref[:])
+            price_ref[:] = jnp.where(has, win_bid, price_ref[:])
+            owned = jnp.sum((owner_ref[:] >= 0).astype(jnp.int32))
+            complete = owned >= n
+            advance = jnp.logical_and(complete, eps > eps_final)
+            owner_ref[:] = jnp.where(
+                advance, jnp.full((1, n), -1, jnp.int32), owner_ref[:]
+            )
+            owned = jnp.where(advance, 0, owned)
+            eps = jnp.where(advance, eps / 4.0, eps)
+            return eps, rounds + 1, owned
+
+        jax.lax.while_loop(
+            cond, body, (eps0, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        )
+
+        # perm[r] = the column r owns, rebuilt per tile (scatter-free).
+        def write_perm(ti, _):
+            owner = owner_ref[:]
+            grow = row_local + ti * tile
+            owns = owner * ones_col_i == grow
+            asg = jnp.min(jnp.where(owns, col_ids, n), axis=1, keepdims=True)
+            out_ref[pl.ds(ti * tile, tile), :] = asg
+            return 0
+
+        jax.lax.fori_loop(0, nt, write_perm, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("num_phases",))
+def pallas_auction_assignment_tiled(cost: jax.Array, num_phases: int = 12) -> jax.Array:
+    """Tiled in-VMEM/HBM-streamed Pallas auction for n in [1024, 4096].
+
+    cost: (n, n) f32, n a multiple of the row tile (256 for n <= 2048, 128
+    at n = 4096). Returns perm (n,) int32. Lifts the n <= 512 VMEM cutoff of
+    :func:`pallas_auction_assignment`: compact (1, n) price/owner state and
+    (T, n) per-round temporaries; the benefit matrix is VMEM-resident up to
+    n = 1024 and HBM-streamed above.
+    """
+    n = cost.shape[0]
+    stream = n > 1024
+    tile = 128 if n >= 4096 else 256
+    assert n % tile == 0, f"n={n} must be a multiple of {tile}"
+    benefit = -cost.astype(jnp.float32)
+    rng = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), 1e-12)
+    eps0 = rng / 2.0
+    eps_final = eps0 / (4.0 ** (num_phases - 1))
+
+    bspec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream
+             else pl.BlockSpec(memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _make_tiled_kernel(n, tile, stream),
+        out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        in_specs=[
+            bspec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),
+            pltpu.VMEM((1, n), jnp.int32),
+            pltpu.VMEM((tile, n) if stream else (8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(benefit, eps0.reshape(1), eps_final.reshape(1))
+    return out[:, 0]

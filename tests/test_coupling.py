@@ -336,3 +336,24 @@ def test_pallas_auction_on_tpu():
     _, copt = lap_solve(np.asarray(M))
     ca = float(np.asarray(M)[np.arange(128), p].sum())
     assert abs(ca - copt) / copt < 1e-5
+
+
+@pytest.mark.parametrize("n", [1024, 2048])
+def test_pallas_auction_tiled_on_tpu(n):
+    """Tiled auction (compact state; HBM-streamed benefit at n=2048) is
+    near-optimal vs the native JV solver and a valid permutation — the
+    round-1 n<=512 VMEM cutoff lifted (VERDICT item 7)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("pallas auction kernel needs a TPU backend")
+    from cfm_tpu.ops.native import lap_solve
+    from cfm_tpu.ops.pallas_auction import pallas_auction_assignment_tiled
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+    x0 = jax.random.normal(k0, (n, 4))
+    x1 = jax.random.normal(k1, (n, 4)) + 1.5
+    M = sq_euclidean_cost(x0, x1)
+    p = np.asarray(pallas_auction_assignment_tiled(M))
+    assert sorted(p.tolist()) == list(range(n))
+    _, copt = lap_solve(np.asarray(M))
+    ca = float(np.asarray(M)[np.arange(n), p].sum())
+    assert abs(ca - copt) / copt < 1e-3, (ca, copt)
