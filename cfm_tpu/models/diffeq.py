@@ -151,3 +151,240 @@ class ODEnet(nn.Module):
         for width in self.hidden_dims:
             h = act(layer_cls(out_dim=width)(t, h))
         return layer_cls(out_dim=self.out_dim)(t, h)
+
+
+class GatedLinear(nn.Module):
+    """f(x) * sigmoid(g(x)) — time-free gated linear (basic.py GatedLinear)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.Dense(self.out_dim)(x) * jax.nn.sigmoid(nn.Dense(self.out_dim)(x))
+
+
+# ---------------------------------------------------------------------------
+# Conv2d family (basic.py:89-469). NHWC (the layout XLA:TPU convs are fastest
+# in; the reference is NCHW). All share (t, x) -> y with x (n, h, w, c).
+# ---------------------------------------------------------------------------
+
+
+def _conv(out_ch: int, ksize, stride, transpose: bool, groups: int = 1,
+          use_bias: bool = True, name: Optional[str] = None):
+    k = (ksize, ksize) if isinstance(ksize, int) else ksize
+    s = (stride, stride) if isinstance(stride, int) else stride
+    if transpose:
+        return nn.ConvTranspose(out_ch, kernel_size=k, strides=s,
+                                padding="SAME", use_bias=use_bias, name=name)
+    return nn.Conv(out_ch, kernel_size=k, strides=s, padding="SAME",
+                   feature_group_count=groups, use_bias=use_bias, name=name)
+
+
+def _t_plane(t, x: Array) -> Array:
+    """Broadcast time to a (n, h, w, 1) feature plane."""
+    t = jnp.asarray(t, x.dtype).reshape(-1)
+    if t.shape[0] == 1:
+        t = jnp.broadcast_to(t, (x.shape[0],))
+    return jnp.broadcast_to(t[:, None, None, None], x.shape[:3] + (1,))
+
+
+def _t_chan(t, x: Array, out_dim: int, use_bias: bool = True,
+            name: Optional[str] = None) -> Array:
+    """Dense(t) broadcast over space: (n, 1, 1, out)."""
+    t = jnp.asarray(t, x.dtype).reshape(-1)
+    if t.shape[0] == 1:
+        t = jnp.broadcast_to(t, (x.shape[0],))
+    y = nn.Dense(out_dim, use_bias=use_bias, name=name)(t[:, None])
+    return y[:, None, None, :]
+
+
+class IgnoreConv2d(nn.Module):
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(x)
+
+
+class ConcatConv2d(nn.Module):
+    """Conv over [t-plane, x] channels (basic.py ConcatConv2d)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        ttx = jnp.concatenate([_t_plane(t, x), x], axis=-1)
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(ttx)
+
+
+class ConcatConv2d_v2(nn.Module):
+    """Conv(x) + per-channel bias(t) (basic.py ConcatConv2d_v2)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(x) \
+            + _t_chan(t, x, self.out_channels, use_bias=False)
+
+
+class SquashConv2d(nn.Module):
+    """Conv([t, x]) * sigmoid(gate(t)) (basic.py SquashConv2d)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        ttx = jnp.concatenate([_t_plane(t, x), x], axis=-1)
+        y = _conv(self.out_channels, self.ksize, self.stride, self.transpose)(ttx)
+        return y * jax.nn.sigmoid(_t_chan(t, x, self.out_channels))
+
+
+class ConcatSquashConv2d(nn.Module):
+    """Conv(x) * sigmoid(gate(t)) + bias(t) (basic.py ConcatSquashConv2d)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        y = _conv(self.out_channels, self.ksize, self.stride, self.transpose)(x)
+        return y * jax.nn.sigmoid(_t_chan(t, x, self.out_channels, name="gate")) \
+            + _t_chan(t, x, self.out_channels, use_bias=False, name="bias")
+
+
+class ConcatCoordConv2d(nn.Module):
+    """Conv over [x, t-plane, row-plane, col-plane] (basic.py
+    ConcatCoordConv2d): coordinate channels give the kernel absolute
+    position awareness."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        n, h, w, _ = x.shape
+        hh = jnp.broadcast_to(
+            jnp.arange(h, dtype=x.dtype)[None, :, None, None], (n, h, w, 1))
+        ww = jnp.broadcast_to(
+            jnp.arange(w, dtype=x.dtype)[None, None, :, None], (n, h, w, 1))
+        aug = jnp.concatenate([x, _t_plane(t, x), hh, ww], axis=-1)
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(aug)
+
+
+class BlendConv2d(nn.Module):
+    """y0 + t (y1 - y0) over two convs (basic.py BlendConv2d)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+    transpose: bool = False
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        y0 = _conv(self.out_channels, self.ksize, self.stride, self.transpose,
+                   name="conv0")(x)
+        y1 = _conv(self.out_channels, self.ksize, self.stride, self.transpose,
+                   name="conv1")(x)
+        tt = jnp.asarray(t, x.dtype).reshape(-1)
+        if tt.shape[0] == 1:
+            tt = jnp.broadcast_to(tt, (x.shape[0],))
+        return y0 + tt[:, None, None, None] * (y1 - y0)
+
+
+class HyperConv2d(nn.Module):
+    """Conv whose kernel and bias are generated from t by a hypernetwork
+    (basic.py HyperConv2d). The generated kernel is shared across the batch
+    (the reference evaluates one scalar t per solver step)."""
+
+    in_channels: int
+    out_channels: int
+    ksize: int = 3
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        k = self.ksize
+        n_w = k * k * self.in_channels * self.out_channels
+        t0 = jnp.asarray(t, x.dtype).reshape(-1)[:1]   # scalar t
+        wb = nn.Dense(n_w + self.out_channels)(t0[:, None])[0]
+        w = wb[:n_w].reshape(k, k, self.in_channels, self.out_channels)
+        b = wb[n_w:]
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + b[None, None, None, :]
+
+
+class GatedConv(nn.Module):
+    """f(x) * sigmoid(g(x)), conv form (basic.py GatedConv)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        f = _conv(self.out_channels, self.ksize, self.stride, False, name="f")(x)
+        g = _conv(self.out_channels, self.ksize, self.stride, False, name="g")(x)
+        return f * jax.nn.sigmoid(g)
+
+
+class GatedConvTranspose(nn.Module):
+    """Transposed-conv gated pair (basic.py GatedConvTranspose)."""
+
+    out_channels: int
+    ksize: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        f = _conv(self.out_channels, self.ksize, self.stride, True, name="f")(x)
+        g = _conv(self.out_channels, self.ksize, self.stride, True, name="g")(x)
+        return f * jax.nn.sigmoid(g)
+
+
+_CONV_LAYER_TYPES = {
+    "ignore": IgnoreConv2d,
+    "concat": ConcatConv2d,
+    "concat_v2": ConcatConv2d_v2,
+    "squash": SquashConv2d,
+    "concatsquash": ConcatSquashConv2d,
+    "concatcoord": ConcatCoordConv2d,
+    "blend": BlendConv2d,
+}
+
+
+class ConvODEnet(nn.Module):
+    """Conv stack of time-conditioned layers (reference odefunc.py ODEnet's
+    conv mode): the CNF drift net for image-space flows. NHWC; output has
+    ``out_channels`` (= input channels for a flow field)."""
+
+    hidden_channels: Sequence[int]
+    out_channels: int
+    layer_type: str = "concatsquash"
+    nonlinearity: str = "softplus"
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        layer_cls = _CONV_LAYER_TYPES[self.layer_type]
+        act = _NONLINEARITIES[self.nonlinearity]
+        h = x
+        for ch in self.hidden_channels:
+            h = act(layer_cls(out_channels=ch)(t, h))
+        return layer_cls(out_channels=self.out_channels)(t, h)

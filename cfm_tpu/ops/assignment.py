@@ -169,10 +169,17 @@ def resolve_solver(method: str = "auto", n: int = 0) -> str:
     backend = jax.default_backend()
     if backend == "cpu":
         return "hungarian"
-    # The in-VMEM kernel holds ~4 (n, n) f32 temporaries; n=1024 exceeds the
-    # 16 MB VMEM (measured), n<=512 fits with headroom (4.7 ms at n=512).
-    if backend in ("tpu", "axon") and 0 < n <= 512:
-        return "pallas"
+    # The dense in-VMEM kernel holds ~4 (n, n) f32 temporaries; n=1024
+    # exceeds the 16 MB VMEM (measured), n<=512 fits with headroom (4.7 ms
+    # at n=512). Above that, the row-tiled kernel with compact (1, n) state
+    # takes over: VMEM-resident benefit at n<=1024 (61 ms measured),
+    # HBM-streamed row tiles to n=4096 (456 ms at n=2048) — exact vs the
+    # native JV solver at all sizes.
+    if backend in ("tpu", "axon"):
+        if 0 < n <= 512:
+            return "pallas"
+        if n <= 4096 and n % (128 if n >= 4096 else 256) == 0:
+            return "pallas_tiled"
     return "auction"
 
 
@@ -183,6 +190,10 @@ def solve_assignment(cost: jax.Array, method: str = "auto") -> jax.Array:
         from .pallas_auction import pallas_auction_assignment
 
         return pallas_auction_assignment(cost)
+    if method == "pallas_tiled":
+        from .pallas_auction import pallas_auction_assignment_tiled
+
+        return pallas_auction_assignment_tiled(cost)
     if method == "auction":
         return auction_assignment(cost)
     if method == "hungarian":

@@ -157,3 +157,65 @@ def test_hyper_and_bayes_variants():
     probs = bm.edge_probs(p)
     assert probs.shape == (4, 4)
     assert bool(jnp.all((probs >= 0) & (probs <= 1)))
+
+
+def test_dibs_mlpodef_posterior_and_acyclicity():
+    """DibsMLPODEF (reference base.py DibsLayer:419-560): reparam-sampled
+    forward, latent-Z edge readout with alpha annealing, NOTEARS h(G),
+    structure sampling, and KL to the prior."""
+    from cfm_tpu.models.grn import DibsMLPODEF
+
+    d, k = 5, 4
+    m = DibsMLPODEF(dims=(d, k, 1), rank=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (7, d))
+    params = m.init(jax.random.PRNGKey(1), 0.0, x)
+    # Deterministic (mean) forward and sampled forward both map (n,d)->(n,d).
+    v_mean = m.apply(params, 0.0, x)
+    v_s1 = m.apply(params, 0.0, x, key=jax.random.PRNGKey(2))
+    v_s2 = m.apply(params, 0.0, x, key=jax.random.PRNGKey(3))
+    assert v_mean.shape == (7, d)
+    assert not np.allclose(np.asarray(v_s1), np.asarray(v_s2))  # stochastic
+    # Edge probabilities anneal toward hard decisions as iter_num grows.
+    p1 = m.edge_probs(params, iter_num=1.0)
+    p100 = m.edge_probs(params, iter_num=100.0)
+    assert p1.shape == (d, d)
+    assert float(jnp.mean(jnp.abs(p100 - 0.5))) > float(jnp.mean(jnp.abs(p1 - 0.5)))
+    # h_acyclic: zero for an empty graph, positive for a soft cyclic one.
+    h = float(m.h_acyclic(params, iter_num=1.0))
+    assert h >= 0.0
+    zero_params = jax.tree.map(jnp.zeros_like, params)
+    # All-zero factors -> p = sigmoid(0) = 0.5 everywhere -> h > 0 (cycles).
+    assert float(m.h_acyclic(zero_params, iter_num=1.0)) > 0.0
+    # Sampled structures are binary with the right shape.
+    S = m.sample_structures(params, jax.random.PRNGKey(4), 6, iter_num=10.0)
+    assert S.shape == (6, d, d)
+    assert set(np.unique(np.asarray(S))) <= {0.0, 1.0}
+    # KL is positive and differentiable.
+    kl = float(m.kl_to_prior(params))
+    assert kl > 0.0
+    g = jax.grad(lambda p: m.kl_to_prior(p))(params)
+    assert np.isfinite(
+        float(jnp.sum(jnp.abs(g["params"]["w_mean"])))
+    )
+
+
+def test_svgd_update_attracts_and_repulses():
+    from cfm_tpu.models.grn import svgd_update
+
+    # 8 particles in 2D; target log p = -||x||^2/2 (standard Gaussian).
+    X = {"x": jax.random.normal(jax.random.PRNGKey(0), (8, 2)) * 3.0}
+    grads = jax.tree.map(lambda x: -x, X)  # grad log p = -x
+    phi = svgd_update(X, grads)
+    assert phi["x"].shape == (8, 2)
+    # The step must move the particle mean toward the origin (attraction
+    # dominates at this spread).
+    before = float(jnp.sum(jnp.square(jnp.mean(X["x"], 0))))
+    after = float(jnp.sum(jnp.square(jnp.mean(X["x"] + 0.5 * phi["x"], 0))))
+    assert after < before
+    # With zero gradients, the kernel-repulsion term must push particles
+    # apart (posterior particles never collapse).
+    Xc = {"x": jnp.zeros((4, 2)).at[:, 0].set(jnp.array([0.0, 0.01, -0.01, 0.02]))}
+    phi0 = svgd_update(Xc, jax.tree.map(jnp.zeros_like, Xc))
+    spread_before = float(jnp.var(Xc["x"][:, 0]))
+    spread_after = float(jnp.var(Xc["x"][:, 0] + 0.1 * phi0["x"][:, 0]))
+    assert spread_after > spread_before

@@ -238,3 +238,48 @@ def test_fused_attention_on_tpu(key):
     g2 = jax.grad(lambda a: jnp.sum(pa._attn_reference(a, scale) ** 2))(qkv)
     np.testing.assert_allclose(
         np.asarray(g1, np.float32), np.asarray(g2, np.float32), atol=0.3)
+
+
+def test_conv_diffeq_layers(key):
+    """Conv2d diffeq family (reference diffeq_layers/basic.py:89-469) in
+    NHWC: every registry layer maps (t, x) -> (n, h, w, out) and accepts
+    scalar or batched t; gated/hyper variants check their specific shapes."""
+    from cfm_tpu.models.diffeq import (
+        _CONV_LAYER_TYPES,
+        ConvODEnet,
+        GatedConv,
+        GatedConvTranspose,
+        GatedLinear,
+        HyperConv2d,
+    )
+
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    t = jnp.array(0.3)
+    for name, cls in _CONV_LAYER_TYPES.items():
+        m = cls(out_channels=5)
+        p = m.init(jax.random.fold_in(key, 1), t, x)
+        y = m.apply(p, t, x)
+        assert y.shape == (2, 8, 8, 5), (name, y.shape)
+        yb = m.apply(p, jnp.full((2,), 0.3), x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yb), atol=1e-6)
+
+    m = HyperConv2d(in_channels=3, out_channels=5)
+    p = m.init(jax.random.fold_in(key, 2), t, x)
+    assert m.apply(p, t, x).shape == (2, 8, 8, 5)
+    # t must actually change the generated kernel.
+    y1 = m.apply(p, jnp.array(0.1), x)
+    y2 = m.apply(p, jnp.array(0.9), x)
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+    for cls in (GatedConv, GatedConvTranspose):
+        m = cls(out_channels=5)
+        p = m.init(jax.random.fold_in(key, 3), x)
+        assert m.apply(p, x).shape == (2, 8, 8, 5)
+    m = GatedLinear(out_dim=7)
+    xx = jax.random.normal(key, (4, 3))
+    p = m.init(jax.random.fold_in(key, 4), xx)
+    assert m.apply(p, xx).shape == (4, 7)
+
+    net = ConvODEnet(hidden_channels=(8, 8), out_channels=3)
+    p = net.init(jax.random.fold_in(key, 5), t, x)
+    assert net.apply(p, t, x).shape == x.shape

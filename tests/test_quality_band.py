@@ -54,12 +54,19 @@ def test_band_fixture_integrity():
 
 
 def _run(kind: str, steps: int, seed: int = 0) -> float:
+    import tempfile
+
     from cfm_tpu.config import load_config
     from cfm_tpu.trainer import Trainer
 
+    # Unique ckpt dir per run: the Trainer auto-resumes from an existing
+    # checkpoint in ckpt_dir/name, so sharing the default directory across
+    # tests would silently continue training instead of starting fresh.
+    ckpt_dir = tempfile.mkdtemp(prefix=f"band_{kind}_")
     cfg = load_config(
         f"2d_{kind}",
         [
+            f"trainer.ckpt_dir={ckpt_dir}",
             "optim.lr=1e-3",
             "optim.ema_decay=0.999",
             f"matcher.sigma={SIGMA[kind]}",
