@@ -96,17 +96,20 @@ INTERPRET = False
 
 
 def _qkv_specs(S: int, H: int, D: int):
-    """Three views into qkv reshaped (N, S, 3H, D): q/k/v for head h live at
-    third-dim blocks h, H + h, 2H + h."""
+    """Three views into qkv laid out (N, 3H, S, D): q/k/v for head h live at
+    second-dim blocks h, H + h, 2H + h. The head axis must sit OUTSIDE the
+    trailing two dims: TPU Pallas requires a block's last two dims to be
+    (8k, 128k) or equal to the array dims, so a size-1 head block there is
+    illegal — (1, 1, S, D) with head in dim 1 is the legal layout."""
     return [
-        pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
-        pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, H + h, 0)),
-        pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, 2 * H + h, 0)),
+        pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0)),
+        pl.BlockSpec((1, 1, S, D), lambda b, h: (b, H + h, 0, 0)),
+        pl.BlockSpec((1, 1, S, D), lambda b, h: (b, 2 * H + h, 0, 0)),
     ]
 
 
 def _squeeze_kernel(kernel):
-    """Adapt (1, S, 1, D)-block refs to the (1, S, D) the kernels index."""
+    """Adapt (1, 1, S, D)-block refs to the (1, S, D) the kernels index."""
 
     class _View:
         def __init__(self, ref):
@@ -115,11 +118,11 @@ def _squeeze_kernel(kernel):
 
         def __getitem__(self, idx):
             assert idx == 0
-            return self._ref[0, :, 0, :]
+            return self._ref[0, 0]
 
         def __setitem__(self, idx, val):
             assert idx == 0
-            self._ref[0, :, 0, :] = val
+            self._ref[0, 0] = val
 
     def wrapped(*refs, **kw):
         return kernel(*[_View(r) for r in refs], **kw)
@@ -149,16 +152,18 @@ def _fused_attention_fwd_impl(qkv, scale):
     if not _use_pallas(qkv):
         return _attn_reference(qkv, scale)
     N, S, _, H, D = qkv.shape
-    qkv_r = qkv.reshape(N, S, 3 * H, D)
+    # (N, S, 3, H, D) -> (N, 3H, S, D): one fusable transpose so the head
+    # axis is outside the (S, D) block dims (see _qkv_specs).
+    qkv_r = qkv.transpose(0, 2, 3, 1, 4).reshape(N, 3 * H, S, D)
     out = pl.pallas_call(
         _squeeze_kernel(functools.partial(_fwd_kernel, scale=scale)),
         grid=(N, H),
         in_specs=_qkv_specs(S, H, D),
-        out_specs=pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, S, H, D), qkv.dtype),
+        out_specs=pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, S, D), qkv.dtype),
         interpret=INTERPRET,
     )(qkv_r, qkv_r, qkv_r)
-    return out
+    return out.transpose(0, 2, 1, 3)                      # (N, S, H, D)
 
 
 def _fused_attention_vjp_fwd(qkv, scale):
@@ -170,25 +175,23 @@ def _fused_attention_vjp_bwd(scale, qkv, g):
         _, vjp = jax.vjp(lambda a: _attn_reference(a, scale), qkv)
         return (vjp(g)[0],)
     N, S, _, H, D = qkv.shape
-    qkv_r = qkv.reshape(N, S, 3 * H, D)
+    qkv_r = qkv.transpose(0, 2, 3, 1, 4).reshape(N, 3 * H, S, D)
+    g_r = g.reshape(N, S, H, D).transpose(0, 2, 1, 3)     # (N, H, S, D)
+    head_spec = pl.BlockSpec((1, 1, S, D), lambda b, h: (b, h, 0, 0))
     dq, dk, dv = pl.pallas_call(
         _squeeze_kernel(functools.partial(_bwd_kernel, scale=scale)),
         grid=(N, H),
-        in_specs=_qkv_specs(S, H, D)
-        + [pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0))],
-        out_specs=[
-            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0)),
-        ],
+        in_specs=_qkv_specs(S, H, D) + [head_spec],
+        out_specs=[head_spec, head_spec, head_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((N, S, H, D), qkv.dtype),
-            jax.ShapeDtypeStruct((N, S, H, D), qkv.dtype),
-            jax.ShapeDtypeStruct((N, S, H, D), qkv.dtype),
+            jax.ShapeDtypeStruct((N, H, S, D), qkv.dtype),
+            jax.ShapeDtypeStruct((N, H, S, D), qkv.dtype),
+            jax.ShapeDtypeStruct((N, H, S, D), qkv.dtype),
         ],
         interpret=INTERPRET,
-    )(qkv_r, qkv_r, qkv_r, g.reshape(N, S, H, D))
-    dqkv = jnp.stack([dq, dk, dv], axis=2)                # (N, S, 3, H, D)
+    )(qkv_r, qkv_r, qkv_r, g_r)
+    # (N, H, S, D) x3 -> (N, S, 3, H, D)
+    dqkv = jnp.stack([dq, dk, dv], axis=1).transpose(0, 3, 1, 2, 4)
     return (dqkv,)
 
 

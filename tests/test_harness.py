@@ -158,6 +158,63 @@ def test_random_search():
     assert best["objective"] == min(t["objective"] for t in trials)
 
 
+def test_tpe_search_converges_and_beats_random():
+    """TPE (the reference's optuna.yaml sampler role) concentrates trials
+    near the optimum of a deterministic objective: with the same budget, the
+    post-startup TPE trials must average closer to the optimum than the
+    startup (random) ones, and the best trial must land inside a tight
+    neighborhood a pure-random budget of the same size rarely hits."""
+    from cfm_tpu.sweep import Categorical, Float, tpe_search
+
+    def run_fn(cfg):
+        import math
+
+        # Optimum at lr=1e-3, matcher=otcfm.
+        penalty = 0.0 if cfg.matcher.kind == "otcfm" else 1.0
+        return {"w2": (math.log10(cfg.optim.lr) + 3.0) ** 2 + penalty}
+
+    best, trials = tpe_search(
+        "2d_icfm",
+        {
+            "optim.lr": Float(1e-5, 1e-1, log=True),
+            "matcher.kind": Categorical("icfm", "otcfm", "sbcfm"),
+        },
+        n_trials=24,
+        run_fn=run_fn,
+        n_startup=6,
+        seed=0,
+    )
+    assert len(trials) == 24
+    objs = [t["objective"] for t in trials]
+    assert best["objective"] == min(objs)
+    # Exploitation: later trials are better than the random startup on average.
+    assert sum(objs[6:]) / 18 < sum(objs[:6]) / 6
+    assert best["objective"] < 0.15
+    assert best["params"]["matcher.kind"] == "otcfm"
+
+
+def test_tpe_search_resilient_to_failures():
+    from cfm_tpu.sweep import Float, tpe_search
+
+    calls = []
+
+    def run_fn(cfg):
+        calls.append(cfg.optim.lr)
+        if len(calls) % 3 == 0:
+            raise RuntimeError("boom")
+        return {"w2": cfg.optim.lr}
+
+    best, trials = tpe_search(
+        "2d_icfm", {"optim.lr": Float(1e-4, 1e-2, log=True)},
+        n_trials=9, run_fn=run_fn, n_startup=3, seed=1,
+    )
+    assert len(trials) == 9
+    assert sum("error" in t for t in trials) == 3
+    assert best["objective"] == min(
+        t["objective"] for t in trials if "objective" in t and t["objective"] is not None
+    )
+
+
 def test_cli_presets_and_train(tmp_path, monkeypatch, capsys):
     """CLI entry: presets listing and a 2-step train run."""
     from cfm_tpu import cli

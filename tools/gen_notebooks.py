@@ -1,0 +1,352 @@
+"""Generate the tutorial notebooks in examples/notebooks/.
+
+Notebook-form counterparts of the reference's tutorials
+(/root/reference/examples/2D_tutorials/*.ipynb, examples/images/*.ipynb),
+re-written against the cfm_tpu API. Kept as a generator script so the .ipynb
+files stay reproducible and diff-able; run
+
+    python tools/gen_notebooks.py [--execute]
+
+to (re)build them. --execute runs every notebook end to end with nbclient
+(CPU-friendly step counts) and embeds the outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import nbformat as nbf
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "examples", "notebooks")
+
+
+def nb(cells):
+    n = nbf.v4.new_notebook()
+    n.metadata["kernelspec"] = {
+        "display_name": "Python 3", "language": "python", "name": "python3",
+    }
+    n.cells = cells
+    return n
+
+
+def md(src):
+    return nbf.v4.new_markdown_cell(src)
+
+
+def code(src):
+    return nbf.v4.new_code_cell(src)
+
+
+# ---------------------------------------------------------------------------
+# 1. Flow matching tutorial: 8gaussians -> moons with I-CFM / OT-CFM / SB-CFM
+# ---------------------------------------------------------------------------
+
+FLOW_MATCHING = nb([
+    md("""# Conditional flow matching on 2D toys: I-CFM, OT-CFM, SB-CFM
+
+TPU-native notebook counterpart of the reference tutorial
+(`examples/2D_tutorials/Flow_matching_tutorial.ipynb` in
+atong01/conditional-flow-matching): train a small MLP vector field to
+transport 8 Gaussians onto two moons with three matchers, then compare the
+learned flows.
+
+Everything — the minibatch OT coupling included — runs inside one jitted
+step with explicit PRNG keys; there is no host round-trip per batch."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+from cfm_tpu import (
+    ConditionalFlowMatcher,
+    ExactOptimalTransportConditionalFlowMatcher,
+    SchrodingerBridgeConditionalFlowMatcher,
+)
+from cfm_tpu.coupling import wasserstein
+from cfm_tpu.data import eight_gaussians, sample_moons
+from cfm_tpu.integrate import odeint, vector_field_from_model
+from cfm_tpu.models import MLP
+from cfm_tpu.train import init_train_state, make_optimizer, make_train_step"""),
+    md("""## Training loop
+
+One function trains any matcher: sample a source/target minibatch, let the
+matcher couple + sample `(t, x_t, u_t)`, regress the MLP on `u_t`."""),
+    code("""def train(matcher, steps=600, batch=256, lr=2e-3, seed=0):
+    model = MLP(dim=2, w=64)
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=lr, warmup_steps=0, grad_clip=1.0)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(matcher, model.apply, opt, ema_decay=0.99))
+    for i in range(steps):
+        key, k0, k1, ks = jax.random.split(key, 4)
+        x0 = eight_gaussians(k0, batch)
+        x1 = sample_moons(k1, batch)
+        state, metrics = step(state, ks, x0, x1)
+        if i % (steps // 5) == 0:
+            print(f"  step {i:4d}  loss {float(metrics['loss']):.4f}")
+    return model, state
+
+matchers = {
+    "I-CFM": ConditionalFlowMatcher(sigma=0.1),
+    "OT-CFM": ExactOptimalTransportConditionalFlowMatcher(sigma=0.1),
+    "SB-CFM": SchrodingerBridgeConditionalFlowMatcher(sigma=0.5),
+}
+trained = {}
+for name, matcher in matchers.items():
+    print(name)
+    trained[name] = train(matcher)"""),
+    md("""## Generation and trajectories
+
+Integrate the learned fields from the source distribution with the
+`lax.scan` euler integrator and plot the sample paths."""),
+    code("""key = jax.random.PRNGKey(42)
+k_src, k_tgt = jax.random.split(key)
+n = 1024
+x0 = eight_gaussians(k_src, n)
+target = sample_moons(k_tgt, n)
+ts = jnp.linspace(0, 1, 101)
+
+fig, axes = plt.subplots(1, 3, figsize=(12, 4))
+for ax, (name, (model, state)) in zip(axes, trained.items()):
+    f = vector_field_from_model(model.apply, state.ema_params)
+    sol = odeint(f, x0, ts, method="euler")
+    traj = sol.ys  # (T, n, 2)
+    ax.plot(traj[:, :128, 0], traj[:, :128, 1], c="olive", lw=0.3, alpha=0.4)
+    ax.scatter(traj[0, :, 0], traj[0, :, 1], s=3, c="black", label="x0")
+    ax.scatter(traj[-1, :, 0], traj[-1, :, 1], s=3, c="blue", label="x1")
+    w2 = float(wasserstein(sol.final, target, power=2))
+    ax.set_title(f"{name}  W2={w2:.3f}")
+    ax.legend(loc="lower left", fontsize=7)
+plt.tight_layout()
+plt.show()"""),
+    md("""OT-CFM's paths are visibly straighter than I-CFM's — the minibatch
+OT coupling removes most of the conditional-path crossing, which is the
+whole point (lower target variance, faster inference with fewer steps)."""),
+])
+
+# ---------------------------------------------------------------------------
+# 2. SF2M tutorial: joint flow + score, ODE and SDE sampling
+# ---------------------------------------------------------------------------
+
+SF2M = nb([
+    md("""# [SF]²M: simulation-free Schrödinger bridge matching
+
+Counterpart of the reference `SF2M_tutorial.ipynb`: jointly train a flow
+field `v(t, x)` and a score field `s(t, x)` on the Brownian-bridge path of
+the Schrödinger-bridge matcher, then sample with BOTH the probability-flow
+ODE and the bridge SDE.
+
+The score target uses the noise that generated `x_t`
+(`return_noise=True` in the reference) and the λ(t) weighting
+(`compute_lambda`)."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+from cfm_tpu import SchrodingerBridgeConditionalFlowMatcher
+from cfm_tpu.coupling import wasserstein
+from cfm_tpu.data import eight_gaussians, sample_moons
+from cfm_tpu.integrate import FlowSolver, vector_field_from_model
+from cfm_tpu.models import MLP
+from cfm_tpu.train import init_train_state, make_optimizer, make_train_step"""),
+    code("""sigma = 0.5
+matcher = SchrodingerBridgeConditionalFlowMatcher(sigma=sigma)
+flow = MLP(dim=2, w=64)
+score = MLP(dim=2, w=64)
+
+key = jax.random.PRNGKey(0)
+params = {
+    "flow": flow.init(key, jnp.zeros((2,)), jnp.zeros((2, 2))),
+    "score": score.init(jax.random.fold_in(key, 1), jnp.zeros((2,)), jnp.zeros((2, 2))),
+}
+opt = make_optimizer(lr=2e-3, warmup_steps=0, grad_clip=1.0)
+state = init_train_state(params, opt)
+# score_apply_fn switches the step to the joint flow+score loss
+# (flow MSE + mean((lambda_t * s + eps)^2), the reference's SF2M cell).
+step = jax.jit(make_train_step(matcher, flow.apply, opt, ema_decay=0.99,
+                               score_apply_fn=score.apply))
+
+for i in range(800):
+    key, k0, k1, ks = jax.random.split(key, 4)
+    x0 = eight_gaussians(k0, 256)
+    x1 = sample_moons(k1, 256)
+    state, metrics = step(state, ks, x0, x1)
+    if i % 160 == 0:
+        print(f"step {i:4d}  loss {float(metrics['loss']):.4f}")"""),
+    md("""## Sampling: probability-flow ODE vs bridge SDE
+
+The `FlowSolver` mirrors the reference solver: ODE drift is `v`, the SDE
+adds the score (`f = v + s`, diffusion `g = σ(t)`) integrated with keyed
+Euler–Maruyama."""),
+    code("""n = 1024
+key, kg, kt, kn = jax.random.split(key, 4)
+x0 = eight_gaussians(kg, n)
+target = sample_moons(kt, n)
+ts = jnp.linspace(0, 1, 101)
+
+f = vector_field_from_model(flow.apply, state.ema_params["flow"])
+s = vector_field_from_model(score.apply, state.ema_params["score"])
+solver = FlowSolver(drift=f, score=s, sigma=sigma)
+
+ode = solver.odeint(x0, ts)
+sde = solver.sdeint(kn, x0, ts)
+
+fig, axes = plt.subplots(1, 2, figsize=(9, 4))
+for ax, (label, xs) in zip(axes, [("ODE", ode.final), ("SDE", sde.final)]):
+    ax.scatter(target[:, 0], target[:, 1], s=3, c="grey", alpha=0.4, label="target")
+    ax.scatter(xs[:, 0], xs[:, 1], s=3, c="blue", label=label)
+    ax.set_title(f"{label}  W2={float(wasserstein(xs, target, power=2)):.3f}")
+    ax.legend(fontsize=7)
+plt.tight_layout()
+plt.show()"""),
+])
+
+# ---------------------------------------------------------------------------
+# 3. Maximum-likelihood CNF tutorial
+# ---------------------------------------------------------------------------
+
+CNF = nb([
+    md("""# Exact-likelihood CNF: training and evaluation
+
+Counterpart of `Maximum_likelihood_CNF_tutorial.ipynb`: instead of
+regressing a conditional vector field, train the flow by maximizing exact
+log-likelihood through the augmented (trace-carrying) ODE — and afterwards
+evaluate `log p(x)` of held-out data with the same machinery.
+
+The divergence is integrated as an extra scan-carry channel
+(`cfm_tpu.augment.augmented_odeint`), exactly the role of the reference's
+`AugmentationModule` + `CNFReg`."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+import optax
+
+from cfm_tpu.augment import cnf_log_likelihood
+from cfm_tpu.data import sample_moons
+from cfm_tpu.models import MLP
+from cfm_tpu.variants import make_cnf_nll_loss"""),
+    code("""model = MLP(dim=2, w=64)
+key = jax.random.PRNGKey(0)
+params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+
+# Negative log-likelihood loss: integrate x1 backward 1->0 with the exact
+# trace; NLL = -[log N(x0) + int tr J dt].
+nll_loss = make_cnf_nll_loss(model.apply, n_steps=40, divergence="exact")
+opt = optax.adam(2e-3)
+opt_state = opt.init(params)
+
+@jax.jit
+def train_step(params, opt_state, key, x1):
+    (loss, _), grads = jax.value_and_grad(
+        lambda p: nll_loss(p, key, None, x1), has_aux=True)(params)
+    updates, opt_state = opt.update(grads, opt_state)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+for i in range(300):
+    key, kd, ks = jax.random.split(key, 3)
+    x1 = sample_moons(kd, 128)
+    params, opt_state, loss = train_step(params, opt_state, ks, x1)
+    if i % 60 == 0:
+        print(f"step {i:4d}  nll {float(loss):.4f}")"""),
+    md("""## Log-likelihood landscape
+
+Evaluate `log p(x)` on a grid: the learned CNF should put mass on the two
+moons."""),
+    code("""xs = jnp.linspace(-1.5, 2.5, 60)
+ys = jnp.linspace(-1.0, 1.5, 60)
+grid = jnp.stack(jnp.meshgrid(xs, ys), -1).reshape(-1, 2)
+
+def f(t, x):
+    return model.apply(params, t, x)
+
+logp = cnf_log_likelihood(f, grid, n_steps=60, divergence="exact")
+plt.figure(figsize=(5, 4))
+plt.imshow(jnp.exp(logp).reshape(60, 60), origin="lower",
+           extent=[-1.5, 2.5, -1.0, 1.5], cmap="viridis", aspect="auto")
+data = sample_moons(jax.random.PRNGKey(7), 512)
+plt.scatter(data[:, 0], data[:, 1], s=2, c="white", alpha=0.5)
+plt.title("exp(log p(x)) of the trained CNF")
+plt.colorbar()
+plt.show()"""),
+])
+
+# ---------------------------------------------------------------------------
+# 4. Conditional MNIST
+# ---------------------------------------------------------------------------
+
+COND_MNIST = nb([
+    md("""# Class-conditional MNIST with guided OT-CFM
+
+Counterpart of `examples/images/conditional_mnist.ipynb`: couple the
+minibatch with exact OT **carrying the labels through the plan**
+(`guided_sample_location_and_conditional_flow`), feed the label to the
+UNet's class embedding, and generate digits row-by-row by class.
+
+This cell uses the high-level `Trainer` harness; set `SYNTHETIC = False`
+and put the MNIST idx files under `data/` to train on real digits. The
+default settings are a fast CPU-friendly smoke configuration — raise
+`STEPS` (2000+) and the UNet width for real sample quality."""),
+    code("""import jax
+import jax.numpy as jnp
+
+from cfm_tpu.config import load_config
+from cfm_tpu.eval.plotting import image_grid
+from cfm_tpu.trainer import Trainer
+
+SYNTHETIC = True   # flip to False with real MNIST idx files under data/
+STEPS = 30         # smoke default; use 2000+ for real digits
+
+cfg = load_config("mnist_otcfm_cond", [
+    f"trainer.total_steps={STEPS}",
+    "data.batch_size=64",
+    f"data.synthetic_fallback={SYNTHETIC}",
+    "model.num_channels=16",
+    "trainer.ckpt_dir=results/nb_cond_mnist/checkpoints",
+])
+trainer = Trainer(cfg, log_dir="results/nb_cond_mnist/logs")
+trainer.fit()"""),
+    md("""## Generate one row per class
+
+Pass the label vector to the solver; the UNet's class embedding steers each
+trajectory to its digit."""),
+    code("""key = jax.random.PRNGKey(1)
+y = jnp.repeat(jnp.arange(10), 8)
+imgs = trainer.generate(key, 80, method="euler", n_steps=50, y=y)
+path = image_grid(imgs, nrow=8, save_path="results/nb_cond_mnist/samples.png")
+print("saved", path)
+
+from IPython.display import Image
+Image(path)"""),
+])
+
+
+NOTEBOOKS = {
+    "flow_matching_tutorial.ipynb": FLOW_MATCHING,
+    "SF2M_tutorial.ipynb": SF2M,
+    "maximum_likelihood_CNF_tutorial.ipynb": CNF,
+    "conditional_mnist.ipynb": COND_MNIST,
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--execute", action="store_true")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+    os.makedirs(OUT, exist_ok=True)
+    for name, notebook in NOTEBOOKS.items():
+        if args.only and args.only not in name:
+            continue
+        path = os.path.join(OUT, name)
+        if args.execute:
+            from nbclient import NotebookClient
+
+            client = NotebookClient(notebook, timeout=1800)
+            client.execute()
+        nbf.write(notebook, path)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
