@@ -203,10 +203,11 @@ class IgnoreConv2d(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
-        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(x)
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose, use_bias=self.use_bias)(x)
 
 
 class ConcatConv2d(nn.Module):
@@ -216,11 +217,12 @@ class ConcatConv2d(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
         ttx = jnp.concatenate([_t_plane(t, x), x], axis=-1)
-        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(ttx)
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose, use_bias=self.use_bias)(ttx)
 
 
 class ConcatConv2d_v2(nn.Module):
@@ -230,10 +232,11 @@ class ConcatConv2d_v2(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
-        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(x) \
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose, use_bias=self.use_bias)(x) \
             + _t_chan(t, x, self.out_channels, use_bias=False)
 
 
@@ -244,11 +247,12 @@ class SquashConv2d(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
         ttx = jnp.concatenate([_t_plane(t, x), x], axis=-1)
-        y = _conv(self.out_channels, self.ksize, self.stride, self.transpose)(ttx)
+        y = _conv(self.out_channels, self.ksize, self.stride, self.transpose, use_bias=self.use_bias)(ttx)
         return y * jax.nn.sigmoid(_t_chan(t, x, self.out_channels))
 
 
@@ -259,10 +263,11 @@ class ConcatSquashConv2d(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
-        y = _conv(self.out_channels, self.ksize, self.stride, self.transpose)(x)
+        y = _conv(self.out_channels, self.ksize, self.stride, self.transpose, use_bias=self.use_bias)(x)
         return y * jax.nn.sigmoid(_t_chan(t, x, self.out_channels, name="gate")) \
             + _t_chan(t, x, self.out_channels, use_bias=False, name="bias")
 
@@ -276,6 +281,7 @@ class ConcatCoordConv2d(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
@@ -285,7 +291,7 @@ class ConcatCoordConv2d(nn.Module):
         ww = jnp.broadcast_to(
             jnp.arange(w, dtype=x.dtype)[None, None, :, None], (n, h, w, 1))
         aug = jnp.concatenate([x, _t_plane(t, x), hh, ww], axis=-1)
-        return _conv(self.out_channels, self.ksize, self.stride, self.transpose)(aug)
+        return _conv(self.out_channels, self.ksize, self.stride, self.transpose, use_bias=self.use_bias)(aug)
 
 
 class BlendConv2d(nn.Module):
@@ -295,13 +301,14 @@ class BlendConv2d(nn.Module):
     ksize: int = 3
     stride: int = 1
     transpose: bool = False
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
         y0 = _conv(self.out_channels, self.ksize, self.stride, self.transpose,
-                   name="conv0")(x)
+                   use_bias=self.use_bias, name="conv0")(x)
         y1 = _conv(self.out_channels, self.ksize, self.stride, self.transpose,
-                   name="conv1")(x)
+                   use_bias=self.use_bias, name="conv1")(x)
         tt = jnp.asarray(t, x.dtype).reshape(-1)
         if tt.shape[0] == 1:
             tt = jnp.broadcast_to(tt, (x.shape[0],))
@@ -372,19 +379,190 @@ _CONV_LAYER_TYPES = {
 
 class ConvODEnet(nn.Module):
     """Conv stack of time-conditioned layers (reference odefunc.py ODEnet's
-    conv mode): the CNF drift net for image-space flows. NHWC; output has
-    ``out_channels`` (= input channels for a flow field)."""
+    conv mode, :42-148): the CNF drift net for image-space flows. NHWC;
+    output has ``out_channels`` (= input channels for a flow field).
+
+    ``strides`` (len = len(hidden_channels)+1, entries 1 | 2 | -2) selects
+    per-layer down/upsampling exactly like the reference (stride 2 = ksize-4
+    downsample, -2 = ksize-4 transpose upsample); ``num_squeeze`` applies
+    space-to-depth before the stack and depth-to-space after (odefunc.py
+    forward :134-148)."""
 
     hidden_channels: Sequence[int]
     out_channels: int
     layer_type: str = "concatsquash"
     nonlinearity: str = "softplus"
+    strides: Optional[Sequence[int]] = None
+    num_squeeze: int = 0
 
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
         layer_cls = _CONV_LAYER_TYPES[self.layer_type]
         act = _NONLINEARITIES[self.nonlinearity]
+        widths = tuple(self.hidden_channels) + (self.out_channels,)
+        strides = self.strides or (1,) * len(widths)
+        assert len(strides) == len(widths), "need len(hidden)+1 strides"
         h = x
-        for ch in self.hidden_channels:
-            h = act(layer_cls(out_channels=ch)(t, h))
-        return layer_cls(out_channels=self.out_channels)(t, h)
+        for _ in range(self.num_squeeze):
+            h = squeeze2d(h, 2)
+        for i, (ch, s) in enumerate(zip(widths, strides)):
+            if s == 1:
+                layer = layer_cls(out_channels=ch)
+            elif s == 2:
+                layer = layer_cls(out_channels=ch, ksize=4, stride=2)
+            elif s == -2:
+                layer = layer_cls(out_channels=ch, ksize=4, stride=2,
+                                  transpose=True)
+            else:
+                raise ValueError(f"Unsupported stride: {s}")
+            h = layer(t, h)
+            if i < len(widths) - 1:
+                h = act(h)
+        for _ in range(self.num_squeeze):
+            h = unsqueeze2d(h, 2)
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Containers and wrappers (diffeq_layers/container.py, wrappers.py,
+# resnet.py). All take/return (t, x) like the rest of the family.
+# ---------------------------------------------------------------------------
+
+
+class DiffEqWrapper(nn.Module):
+    """Adapt a time-free ``x -> y`` module to the ``(t, x) -> y`` protocol
+    (wrappers.py DiffEqWrapper). flax modules are dataclasses, so instead of
+    signature introspection the adapter simply drops t."""
+
+    module: nn.Module
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        return self.module(x)
+
+
+def diffeq_wrap(layer: nn.Module) -> nn.Module:
+    """diffeq_wrapper: wrap iff the module is time-free. Time-aware diffeq
+    layers in this file all subclass nn.Module and take (t, x); callers tag
+    time-free layers explicitly by passing them through this helper."""
+    return DiffEqWrapper(module=layer)
+
+
+class SequentialDiffEq(nn.Module):
+    """Sequential chain of (t, x) layers sharing the same t
+    (container.py SequentialDiffEq)."""
+
+    layers: Sequence[nn.Module]
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        for layer in self.layers:
+            x = layer(t, x)
+        return x
+
+
+class MixtureODELayer(nn.Module):
+    """Mixture of experts: dy = sum_i sigma_i(t) * f_i(t, y) with
+    time-dependent mixture weights (container.py MixtureODELayer)."""
+
+    experts: Sequence[nn.Module]
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        assert len(self.experts) > 1
+        dys = jnp.stack([f(t, x) for f in self.experts], axis=0)
+        t_in = jnp.asarray(t, x.dtype).reshape(-1, 1)[:1]      # (1, 1)
+        w = nn.Dense(len(self.experts), name="mixture_weights")(t_in)  # (1, E)
+        w = w.reshape(len(self.experts), *([1] * (dys.ndim - 1)))
+        return jnp.sum(dys * w, axis=0)
+
+
+class ReshapeDiffEq(nn.Module):
+    """View flat (bs, prod(shape)) state as ``input_shape`` for an inner
+    (t, x) net, then flatten back (wrappers.py ReshapeDiffEq) — lets image
+    CNF drift nets run inside flat-state integrators."""
+
+    input_shape: Sequence[int]
+    net: nn.Module
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        bs = x.shape[0]
+        y = self.net(t, x.reshape(bs, *self.input_shape))
+        return y.reshape(bs, -1)
+
+
+class BasicResBlock(nn.Module):
+    """Pre-activation residual block over a time-conditioned conv
+    (resnet.py BasicBlock): GN(16) -> relu -> conv -> GN -> relu -> conv + x.
+    NHWC; fp32 GroupNorm statistics."""
+
+    dim: int
+    conv_layer: str = "concatcoord"
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        conv_cls = _CONV_LAYER_TYPES[self.conv_layer]
+        groups = min(16, self.dim)
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-4, dtype=jnp.float32)(x)
+        h = conv_cls(out_channels=self.dim, use_bias=False)(t, nn.relu(h))
+        h = nn.GroupNorm(num_groups=groups, epsilon=1e-4, dtype=jnp.float32)(h)
+        h = conv_cls(out_channels=self.dim, use_bias=False)(t, nn.relu(h))
+        return h + x
+
+
+class ResNetDiffEq(nn.Module):
+    """Residual CNF drift net (resnet.py ResNet): lift to intermediate_dim,
+    n residual blocks, GN+relu head, 1x1 project back to dim."""
+
+    dim: int
+    intermediate_dim: int
+    n_resblocks: int
+    conv_layer: str = "concatcoord"
+
+    @nn.compact
+    def __call__(self, t, x: Array) -> Array:
+        conv_cls = _CONV_LAYER_TYPES[self.conv_layer]
+        h = conv_cls(out_channels=self.intermediate_dim, use_bias=False)(t, x)
+        for _ in range(self.n_resblocks):
+            h = BasicResBlock(dim=self.intermediate_dim,
+                              conv_layer=self.conv_layer)(t, h)
+        h = nn.GroupNorm(num_groups=min(16, self.intermediate_dim),
+                         epsilon=1e-4, dtype=jnp.float32)(h)
+        h = conv_cls(out_channels=self.dim, ksize=1, use_bias=False)(
+            t, nn.relu(h))
+        return h
+
+
+# ---------------------------------------------------------------------------
+# Squeeze (space-to-depth) — layers/squeeze.py. NHWC; volume-preserving, so
+# the CNF log-prob passes through unchanged.
+# ---------------------------------------------------------------------------
+
+
+def squeeze2d(x: Array, factor: int = 2) -> Array:
+    """(n, H*r, W*r, c) -> (n, H, W, c*r^2) space-to-depth (squeeze.py:49)."""
+    n, h, w, c = x.shape
+    r = factor
+    x = x.reshape(n, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // r, w // r, c * r * r)
+
+
+def unsqueeze2d(x: Array, factor: int = 2) -> Array:
+    """(n, H, W, c*r^2) -> (n, H*r, W*r, c) depth-to-space (squeeze.py:33)."""
+    n, h, w, c = x.shape
+    r = factor
+    x = x.reshape(n, h, w, r, r, c // (r * r))
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * r, w * r, c // (r * r))
+
+
+class SqueezeLayer(nn.Module):
+    """Invertible squeeze with logp passthrough (squeeze.py SqueezeLayer):
+    volume-preserving rearrangement, |det J| = 1."""
+
+    downscale_factor: int = 2
+
+    def __call__(self, x: Array, logpx: Optional[Array] = None,
+                 reverse: bool = False):
+        y = (unsqueeze2d if reverse else squeeze2d)(x, self.downscale_factor)
+        return y if logpx is None else (y, logpx)

@@ -283,3 +283,91 @@ def test_conv_diffeq_layers(key):
     net = ConvODEnet(hidden_channels=(8, 8), out_channels=3)
     p = net.init(jax.random.fold_in(key, 5), t, x)
     assert net.apply(p, t, x).shape == x.shape
+
+
+def test_diffeq_containers_and_resnet(key):
+    """Containers/wrappers/resnet of the diffeq zoo (reference
+    diffeq_layers/container.py, wrappers.py, resnet.py): sequential chains,
+    time-weighted expert mixtures, flat<->image reshaping, and the
+    pre-activation residual CNF drift net."""
+    import flax.linen as nn
+
+    from cfm_tpu.models.diffeq import (
+        ConcatLinear,
+        ConvODEnet,
+        DiffEqWrapper,
+        MixtureODELayer,
+        ReshapeDiffEq,
+        ResNetDiffEq,
+        SequentialDiffEq,
+        diffeq_wrap,
+    )
+
+    t = jnp.array(0.4)
+    x = jax.random.normal(key, (3, 6))
+
+    # DiffEqWrapper adapts a time-free module; Sequential chains mixed layers.
+    seq = SequentialDiffEq(layers=(
+        ConcatLinear(out_dim=8), diffeq_wrap(nn.Dense(6)),
+    ))
+    p = seq.init(key, t, x)
+    y = seq.apply(p, t, x)
+    assert y.shape == (3, 6)
+
+    # Mixture: at the weight level the output is a t-weighted expert sum.
+    mix = MixtureODELayer(experts=(
+        ConcatLinear(out_dim=6), ConcatLinear(out_dim=6), ConcatLinear(out_dim=6),
+    ))
+    p = mix.init(key, t, x)
+    assert mix.apply(p, t, x).shape == (3, 6)
+
+    # ReshapeDiffEq: flat state through an image drift net and back.
+    img_net = ConvODEnet(hidden_channels=(4,), out_channels=2)
+    rs = ReshapeDiffEq(input_shape=(4, 4, 2), net=img_net)
+    xf = jax.random.normal(key, (3, 32))
+    p = rs.init(key, t, xf)
+    assert rs.apply(p, t, xf).shape == (3, 32)
+
+    # ResNet drift net: shape-preserving, residual (zero blocks ~ lift+proj).
+    xi = jax.random.normal(key, (2, 8, 8, 3))
+    net = ResNetDiffEq(dim=3, intermediate_dim=8, n_resblocks=2)
+    p = net.init(key, t, xi)
+    y = net.apply(p, t, xi)
+    assert y.shape == (2, 8, 8, 3)
+    yb = net.apply(p, jnp.full((2,), 0.4), xi)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yb), atol=1e-5)
+
+
+def test_squeeze_layer_and_strided_convodenet(key):
+    """SqueezeLayer round-trip (reference layers/squeeze.py) and the strided
+    ConvODEnet (odefunc.py ODEnet conv mode with strides / num_squeeze)."""
+    from cfm_tpu.models.diffeq import ConvODEnet, SqueezeLayer, squeeze2d, unsqueeze2d
+
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    sq = squeeze2d(x, 2)
+    assert sq.shape == (2, 4, 4, 12)
+    np.testing.assert_allclose(np.asarray(unsqueeze2d(sq, 2)), np.asarray(x))
+    # channel semantics: squeeze gathers each 2x2 spatial patch into channels
+    np.testing.assert_allclose(np.asarray(sq[0, 0, 0, :3]), np.asarray(x[0, 0, 0]))
+
+    layer = SqueezeLayer(downscale_factor=2)
+    y, logp = layer(x, jnp.zeros((2,)))
+    assert y.shape == (2, 4, 4, 12) and logp.shape == (2,)   # |det J| = 1
+    back = layer(y, reverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+    # Hourglass drift net: down(2) -> up(-2) -> 1, shape-preserving. With
+    # num_squeeze the stack sees the squeezed tensor, so the last layer must
+    # produce c*r^2 channels for the trailing depth-to-space to invert
+    # (same constraint as the reference's ODEnet, odefunc.py:87,134-148).
+    t = jnp.array(0.2)
+    net = ConvODEnet(hidden_channels=(6, 6), out_channels=12,
+                     strides=(2, -2, 1), num_squeeze=1)
+    p = net.init(key, t, x)
+    out = net.apply(p, t, x)
+    assert out.shape == x.shape
+
+    # And without squeezing: plain strided hourglass back to input channels.
+    net2 = ConvODEnet(hidden_channels=(6, 6), out_channels=3, strides=(2, -2, 1))
+    p2 = net2.init(key, t, x)
+    assert net2.apply(p2, t, x).shape == x.shape
