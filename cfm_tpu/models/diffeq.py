@@ -566,3 +566,53 @@ class SqueezeLayer(nn.Module):
                  reverse: bool = False):
         y = (unsqueeze2d if reverse else squeeze2d)(x, self.downscale_factor)
         return y if logpx is None else (y, logpx)
+
+
+class AutoencoderDiffEqNet(nn.Module):
+    """Encoder/decoder CNF drift net returning (h, dx) — the bottleneck
+    activation and the drift — for FFJORD's autoencoder-trace estimator
+    (reference odefunc.py AutoencoderDiffEqNet, :150-258). The first
+    len(hidden)//2 + 1 layers are the encoder (nonlinearity after each),
+    the rest the decoder (nonlinearity between, none after the last).
+
+    ``conv=False``: linear family over (bs, d); ``conv=True``: NHWC conv
+    family with the reference's stride convention (1 | 2 | -2)."""
+
+    hidden_dims: Sequence[int]
+    out_dim: int
+    conv: bool = False
+    layer_type: str = "concat"
+    nonlinearity: str = "softplus"
+    strides: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(self, t, x: Array):
+        assert self.layer_type in ("ignore", "squash", "concat", "concatcoord", "blend")
+        act = _NONLINEARITIES[self.nonlinearity]
+        widths = tuple(self.hidden_dims) + (self.out_dim,)
+        n_enc = len(self.hidden_dims) // 2 + 1
+
+        def build(i, w, s):
+            if self.conv:
+                cls = _CONV_LAYER_TYPES["concatcoord" if self.layer_type == "concatcoord"
+                                        else self.layer_type]
+                if s == 2:
+                    return cls(out_channels=w, ksize=4, stride=2)
+                if s == -2:
+                    return cls(out_channels=w, ksize=4, stride=2, transpose=True)
+                return cls(out_channels=w)
+            cls = _LAYER_TYPES["concat" if self.layer_type == "concatcoord"
+                               else self.layer_type]
+            return cls(out_dim=w)
+
+        strides = self.strides or (1,) * len(widths)
+        assert len(strides) == len(widths), "need len(hidden)+1 strides"
+        h = x
+        for i in range(n_enc):
+            h = act(build(i, widths[i], strides[i])(t, h))
+        dx = h
+        for j in range(n_enc, len(widths)):
+            dx = build(j, widths[j], strides[j])(t, dx)
+            if j < len(widths) - 1:
+                dx = act(dx)
+        return h, dx

@@ -371,3 +371,24 @@ def test_squeeze_layer_and_strided_convodenet(key):
     net2 = ConvODEnet(hidden_channels=(6, 6), out_channels=3, strides=(2, -2, 1))
     p2 = net2.init(key, t, x)
     assert net2.apply(p2, t, x).shape == x.shape
+
+
+def test_autoencoder_diffeq_net(key):
+    """AutoencoderDiffEqNet (reference odefunc.py:150-258): returns the
+    encoder bottleneck h and the drift dx, both in linear and conv modes."""
+    from cfm_tpu.models.diffeq import AutoencoderDiffEqNet
+
+    t = jnp.array(0.5)
+    x = jax.random.normal(key, (3, 6))
+    net = AutoencoderDiffEqNet(hidden_dims=(8, 4, 8), out_dim=6,
+                               layer_type="concat")
+    p = net.init(key, t, x)
+    h, dx = net.apply(p, t, x)
+    assert h.shape == (3, 4) and dx.shape == (3, 6)   # bottleneck after 2 enc layers
+
+    xi = jax.random.normal(key, (2, 8, 8, 3))
+    netc = AutoencoderDiffEqNet(hidden_dims=(6, 4, 6), out_dim=3, conv=True,
+                                layer_type="concat", strides=(1, 2, -2, 1))
+    p = netc.init(key, t, xi)
+    h, dx = netc.apply(p, t, xi)
+    assert h.shape == (2, 4, 4, 4) and dx.shape == (2, 8, 8, 3)
