@@ -13,7 +13,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp

@@ -357,3 +357,99 @@ def test_pallas_auction_tiled_on_tpu(n):
     _, copt = lap_solve(np.asarray(M))
     ca = float(np.asarray(M)[np.arange(n), p].sum())
     assert abs(ca - copt) / copt < 1e-3, (ca, copt)
+
+
+# ---------------------------------------------------------------------------
+# Flash Sinkhorn (ops/flash_sinkhorn.py): IO-aware entropic OT from points
+# ---------------------------------------------------------------------------
+
+
+def test_flash_sinkhorn_xla_matches_materialized():
+    """The points-based solver (XLA path) reproduces ops/sinkhorn.sinkhorn on
+    the materialized squared-Euclidean cost."""
+    from cfm_tpu.ops.flash_sinkhorn import sinkhorn_from_points
+    from cfm_tpu.ops.sinkhorn import sinkhorn
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (48, 3))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (40, 3)) + 1.0
+    f, g = sinkhorn_from_points(x, y, reg=0.5)
+    M = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, -1)
+    a = jnp.full((48,), 1 / 48)
+    b = jnp.full((40,), 1 / 40)
+    plan_ref = sinkhorn(a, b, M, reg=0.5)
+    plan = jnp.exp((f[:, None] + g[None, :] - M) / 0.5)
+    np.testing.assert_allclose(np.asarray(plan), np.asarray(plan_ref),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_flash_sinkhorn_kernel_interpret_matches_xla():
+    """Interpret-mode run of the Pallas kernel pins the tiled online-LSE
+    math itself (tile_j/tile_i split sizes exercised by non-equal n, m)."""
+    from cfm_tpu.ops import flash_sinkhorn as fs
+
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (64, 4))
+    y = jax.random.normal(jax.random.fold_in(key, 3), (48, 4)) + 0.5
+    f_x, g_x = fs._flash_sinkhorn_xla(
+        x, y, jnp.log(jnp.full((64,), 1 / 64)), jnp.log(jnp.full((48,), 1 / 48)),
+        0.3, 1000, 1e-6)
+    old = fs.INTERPRET
+    fs.INTERPRET = True
+    try:
+        f_p, g_p = fs.sinkhorn_from_points(x, y, reg=0.3)
+    finally:
+        fs.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_p), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_plan_sample_and_cost():
+    """Chunked consumers: Gumbel-max sampling recovers the (near-)
+    permutation coupling of well-separated clouds at small reg, and the
+    chunked transport cost equals sinkhorn2 on the dense plan."""
+    from cfm_tpu.ops.flash_sinkhorn import (
+        plan_sample_from_potentials,
+        sinkhorn_from_points,
+        transport_cost_from_potentials,
+    )
+    from cfm_tpu.ops.sinkhorn import sinkhorn2
+
+    key = jax.random.PRNGKey(4)
+    n = 32
+    x = jax.random.normal(key, (n, 2)) * 0.01
+    x = x + jnp.arange(n)[:, None] * 1.0           # well-separated line
+    perm = jax.random.permutation(jax.random.fold_in(key, 5), n)
+    y = x[perm] + 0.1
+    f, g = sinkhorn_from_points(x, y, reg=0.05, num_iters=2000)
+
+    idx = plan_sample_from_potentials(jax.random.fold_in(key, 6), x, y, f, g,
+                                      reg=0.05, chunk=16)
+    # pi concentrates on the permutation: sampled j must invert perm.
+    np.testing.assert_array_equal(np.asarray(perm[idx]), np.arange(n))
+
+    cost = transport_cost_from_potentials(x, y, f, g, reg=0.05, chunk=16)
+    M = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, -1)
+    ref = sinkhorn2(jnp.full((n,), 1 / n), jnp.full((n,), 1 / n), M, reg=0.05,
+                    num_iters=2000)
+    np.testing.assert_allclose(float(cost), float(ref), rtol=1e-3)
+
+
+def test_flash_sinkhorn_on_tpu():
+    """Hardware run of the flash kernel vs the materialized-cost twin."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("flash sinkhorn kernel needs a TPU backend")
+    from cfm_tpu.ops.flash_sinkhorn import (
+        _center, _flash_sinkhorn_xla, sinkhorn_from_points,
+    )
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (512, 8))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (512, 8)) + 1.0
+    f, g = sinkhorn_from_points(x, y, reg=0.5)
+    xc, yc = _center(x, y)
+    la = jnp.log(jnp.full((512,), 1 / 512))
+    fx, gx = _flash_sinkhorn_xla(xc, yc, la, la, 0.5, 1000, 1e-6)
+    np.testing.assert_allclose(np.asarray(f), np.asarray(fx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=1e-4)

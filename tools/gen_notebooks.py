@@ -321,11 +321,166 @@ Image(path)"""),
 ])
 
 
+# ---------------------------------------------------------------------------
+# 5. Minibatch-OT study: variance + straightness
+# ---------------------------------------------------------------------------
+
+OT_STUDY = nb([
+    md("""# The (un)reasonable performance of minibatch OT
+
+Counterpart of `The_unreasonable_performance_of_minibatch_OT.ipynb`: why
+does re-pairing the minibatch by an OT plan help so much?
+
+Two measurements: (1) the **variance of the regression target** — with
+independent coupling, many different `u_t` values are seen at the same
+`(t, x_t)`, so the MSE-optimal field averages crossing paths; OT coupling
+collapses that variance; (2) the **straightness** of the learned flow
+(`E ||v(t,x_t) - (x1-x0)||^2` along generated paths), which controls how
+few inference steps you can get away with."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+from cfm_tpu import (
+    ConditionalFlowMatcher,
+    ExactOptimalTransportConditionalFlowMatcher,
+)
+from cfm_tpu.coupling import OTPlanSampler
+from cfm_tpu.data import eight_gaussians, sample_moons
+from cfm_tpu.models import MLP
+from cfm_tpu.train import init_train_state, make_optimizer, make_train_step
+from cfm_tpu.variants import straightness"""),
+    md("""## 1. Target variance at matched pairs
+
+Sample many minibatches, record `(x_t, u_t)` at t=0.5, and compare the
+spread of `u_t` for the nearest-neighbour `x_t` clusters under the two
+couplings. A cheap proxy that needs no binning: the variance of `u_t`
+itself — OT pairs nearby points, so `x1 - x0` concentrates."""),
+    code("""key = jax.random.PRNGKey(0)
+sampler = OTPlanSampler(method="exact")
+u_ind, u_ot = [], []
+for i in range(20):
+    k0, k1, kp = jax.random.split(jax.random.fold_in(key, i), 3)
+    x0 = eight_gaussians(k0, 256)
+    x1 = sample_moons(k1, 256)
+    u_ind.append(x1 - x0)                       # independent coupling
+    x0p, x1p = sampler.sample_plan(kp, x0, x1)  # minibatch-OT coupling
+    u_ot.append(x1p - x0p)
+u_ind = jnp.concatenate(u_ind); u_ot = jnp.concatenate(u_ot)
+print(f"Var[u_t] independent: {float(jnp.var(u_ind)):.3f}")
+print(f"Var[u_t] minibatch OT: {float(jnp.var(u_ot)):.3f}")"""),
+    md("""## 2. Straightness of the trained flows"""),
+    code("""def train(matcher, steps=600):
+    model = MLP(dim=2, w=64)
+    k = jax.random.PRNGKey(1)
+    params = model.init(k, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=2e-3, warmup_steps=0)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(matcher, model.apply, opt, ema_decay=0.99))
+    for i in range(steps):
+        k, k0, k1, ks = jax.random.split(k, 4)
+        state, _ = step(state, ks, eight_gaussians(k0, 256), sample_moons(k1, 256))
+    return model, state
+
+results = {}
+for name, matcher in [("I-CFM", ConditionalFlowMatcher(sigma=0.1)),
+                      ("OT-CFM", ExactOptimalTransportConditionalFlowMatcher(sigma=0.1))]:
+    model, state = train(matcher)
+    k = jax.random.PRNGKey(2)
+    s = float(straightness(model.apply, state.ema_params, k,
+                           eight_gaussians(jax.random.fold_in(k, 1), 1024)))
+    results[name] = s
+    print(f"{name}: straightness (lower = straighter) {s:.4f}")
+
+assert results["OT-CFM"] < results["I-CFM"]"""),
+    md("""OT-CFM's paths are straighter, which is exactly why it tolerates
+few-step Euler inference — the reference notebook reaches the same
+conclusion with torch + POT on host; here the whole study (coupling
+included) runs jitted on the accelerator."""),
+])
+
+
+# ---------------------------------------------------------------------------
+# 6. Model comparison plotting
+# ---------------------------------------------------------------------------
+
+MODEL_COMPARISON = nb([
+    md("""# Model comparison: all five matchers side by side
+
+Counterpart of `model-comparison-plotting.ipynb`: train every matcher on
+the same 8gaussians -> moons task and render the generated clouds and
+sample paths in one figure (the reference renders a GIF; a static panel
+carries the same information)."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+from cfm_tpu import (
+    ConditionalFlowMatcher,
+    ExactOptimalTransportConditionalFlowMatcher,
+    SchrodingerBridgeConditionalFlowMatcher,
+    TargetConditionalFlowMatcher,
+    VariancePreservingConditionalFlowMatcher,
+)
+from cfm_tpu.coupling import wasserstein
+from cfm_tpu.data import eight_gaussians, sample_moons
+from cfm_tpu.integrate import odeint, vector_field_from_model
+from cfm_tpu.models import MLP
+from cfm_tpu.train import init_train_state, make_optimizer, make_train_step
+
+MATCHERS = {
+    "I-CFM": (ConditionalFlowMatcher(sigma=0.1), eight_gaussians),
+    "OT-CFM": (ExactOptimalTransportConditionalFlowMatcher(sigma=0.1), eight_gaussians),
+    "SB-CFM": (SchrodingerBridgeConditionalFlowMatcher(sigma=0.5), eight_gaussians),
+    "FM (Lipman)": (TargetConditionalFlowMatcher(sigma=0.1), None),  # Gaussian source
+    "VP-CFM": (VariancePreservingConditionalFlowMatcher(sigma=0.0), eight_gaussians),
+}"""),
+    code("""def train(matcher, source_fn, steps=600, batch=256):
+    model = MLP(dim=2, w=64)
+    k = jax.random.PRNGKey(0)
+    params = model.init(k, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=2e-3, warmup_steps=0)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(matcher, model.apply, opt, ema_decay=0.99))
+    for i in range(steps):
+        k, k0, k1, ks = jax.random.split(k, 4)
+        x0 = (source_fn(k0, batch) if source_fn
+              else jax.random.normal(k0, (batch, 2)))
+        state, _ = step(state, ks, x0, sample_moons(k1, batch))
+    return model, state
+
+trained = {}
+for name, (matcher, src) in MATCHERS.items():
+    print("training", name)
+    trained[name] = (*train(matcher, src), src)"""),
+    code("""n = 1024
+key = jax.random.PRNGKey(7)
+target = sample_moons(jax.random.fold_in(key, 9), n)
+ts = jnp.linspace(0, 1, 101)
+
+fig, axes = plt.subplots(1, len(trained), figsize=(4 * len(trained), 4))
+for ax, (name, (model, state, src)) in zip(axes, trained.items()):
+    k = jax.random.fold_in(key, hash(name) % 1000)
+    x0 = src(k, n) if src else jax.random.normal(k, (n, 2))
+    f = vector_field_from_model(model.apply, state.ema_params)
+    sol = odeint(f, x0, ts, method="euler")
+    traj = sol.ys
+    ax.plot(traj[:, :96, 0], traj[:, :96, 1], c="olive", lw=0.2, alpha=0.5)
+    ax.scatter(sol.final[:, 0], sol.final[:, 1], s=3, c="blue")
+    w2 = float(wasserstein(sol.final, target, power=2))
+    ax.set_title(f"{name}\\nW2={w2:.3f}")
+plt.tight_layout()
+plt.show()"""),
+])
+
+
 NOTEBOOKS = {
     "flow_matching_tutorial.ipynb": FLOW_MATCHING,
     "SF2M_tutorial.ipynb": SF2M,
     "maximum_likelihood_CNF_tutorial.ipynb": CNF,
     "conditional_mnist.ipynb": COND_MNIST,
+    "minibatch_OT_study.ipynb": OT_STUDY,
+    "model_comparison_plotting.ipynb": MODEL_COMPARISON,
 }
 
 
