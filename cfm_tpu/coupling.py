@@ -82,6 +82,7 @@ class OTPlanSampler:
         warn: bool = True,
         solver: str = "auto",
         num_iters: int = 1000,
+        flash: Optional[bool] = None,
     ) -> None:
         if method not in ("exact", "sinkhorn", "unbalanced", "partial"):
             raise ValueError(f"Unknown method: {method}")
@@ -92,6 +93,9 @@ class OTPlanSampler:
         self.warn = warn
         self.solver = solver
         self.num_iters = num_iters
+        # Flash-sinkhorn routing for sample_plan: True = always, False =
+        # never, None = auto above 2048^2 plan entries.
+        self.flash = flash
 
     # -- plan construction ---------------------------------------------------
 
@@ -173,10 +177,36 @@ class OTPlanSampler:
     def sample_plan(
         self, key: jax.Array, x0: jax.Array, x1: jax.Array, replace: bool = True
     ) -> Tuple[jax.Array, jax.Array]:
-        """Re-pair the minibatch according to the OT plan (reference :123-145)."""
+        """Re-pair the minibatch according to the OT plan (reference :123-145).
+
+        Large sinkhorn couplings (n*m >= 2048^2 by default, or ``flash=True``
+        in the constructor) route through the flash kernel
+        (ops/flash_sinkhorn.py): potentials are computed without ever
+        materializing the (n, m) cost/plan, and pairs are drawn one-j-per-row
+        by Gumbel-max — i stratified over rows instead of iid multinomial
+        (same marginal law over pairs, lower variance)."""
+        n, m = x0.shape[0], x1.shape[0]
+        if self._use_flash(n, m, replace):
+            from .ops.flash_sinkhorn import (
+                plan_sample_from_potentials,
+                sinkhorn_from_points,
+            )
+
+            kf, ks = jax.random.split(key)
+            f, g = sinkhorn_from_points(x0, x1, self.reg,
+                                        num_iters=self.num_iters)
+            j = plan_sample_from_potentials(ks, x0, x1, f, g, self.reg)
+            return x0, x1[j]
         pi = self.get_map(x0, x1)
         i, j = self.sample_map(key, pi, x0.shape[0], replace=replace)
         return x0[i], x1[j]
+
+    def _use_flash(self, n: int, m: int, replace: bool) -> bool:
+        if self.method != "sinkhorn" or not replace or self.normalize_cost:
+            return False
+        if self.flash is not None:
+            return self.flash
+        return n * m >= 2048 * 2048
 
     def sample_plan_exact_order(
         self, x0: jax.Array, x1: jax.Array

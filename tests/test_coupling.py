@@ -453,3 +453,37 @@ def test_flash_sinkhorn_on_tpu():
     fx, gx = _flash_sinkhorn_xla(xc, yc, la, la, 0.5, 1000, 1e-6)
     np.testing.assert_allclose(np.asarray(f), np.asarray(fx), atol=1e-4)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gx), atol=1e-4)
+
+
+def test_sample_plan_flash_path_pairs_clusters():
+    """flash=True sample_plan: with two well-separated cluster pairs and a
+    small reg, every x0 must be paired with an x1 from ITS cluster — same
+    behaviour as the dense-plan path, no (n, m) plan materialized."""
+    from cfm_tpu.coupling import OTPlanSampler
+
+    key = jax.random.PRNGKey(0)
+    n = 64
+    c = jnp.array([0.0, 0.0])
+    far = jnp.array([30.0, 0.0])
+    half = n // 2
+    x0 = jnp.concatenate([
+        jax.random.normal(key, (half, 2)) * 0.1 + c,
+        jax.random.normal(jax.random.fold_in(key, 1), (half, 2)) * 0.1 + far,
+    ])
+    x1 = jnp.concatenate([
+        jax.random.normal(jax.random.fold_in(key, 2), (half, 2)) * 0.1 + c,
+        jax.random.normal(jax.random.fold_in(key, 3), (half, 2)) * 0.1 + far,
+    ])
+    s = OTPlanSampler(method="sinkhorn", reg=0.5, flash=True)
+    a, b = s.sample_plan(jax.random.fold_in(key, 4), x0, x1)
+    assert a.shape == x0.shape and b.shape == x1.shape
+    # Stratified rows: a IS x0 in order; every pair stays within-cluster.
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(x0))
+    d = jnp.sum((a - b) ** 2, axis=1)
+    assert float(jnp.max(d)) < 10.0, float(jnp.max(d))
+
+    # flash=False keeps the dense-plan path (equal coupled quality).
+    s2 = OTPlanSampler(method="sinkhorn", reg=0.5, flash=False)
+    a2, b2 = s2.sample_plan(jax.random.fold_in(key, 5), x0, x1)
+    d2 = jnp.sum((a2 - b2) ** 2, axis=1)
+    assert float(jnp.max(d2)) < 10.0
