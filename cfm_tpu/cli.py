@@ -39,6 +39,7 @@ def main(argv=None) -> int:
         return 2
     preset = argv.pop(0)
     cfg = load_config(preset, argv)
+    print(cfg.tree_str())
     trainer = Trainer(cfg)
     if cmd == "train":
         trainer.fit()

@@ -116,6 +116,28 @@ class Config:
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
 
+    def tree_str(self) -> str:
+        """Plain-text config tree for startup logging — the role of the
+        reference's rich config-tree printing (runner/src/utils/utils.py:79-81,
+        rich_utils.print_config_tree), with zero dependencies."""
+        lines = [f"config: {self.name}"]
+
+        def walk(d: Dict[str, Any], indent: str) -> None:
+            items = list(d.items())
+            for i, (k, v) in enumerate(items):
+                last = i == len(items) - 1
+                branch = "`-- " if last else "|-- "
+                if isinstance(v, dict):
+                    lines.append(f"{indent}{branch}{k}")
+                    walk(v, indent + ("    " if last else "|   "))
+                else:
+                    lines.append(f"{indent}{branch}{k} = {v!r}")
+
+        d = self.to_dict()
+        d.pop("name", None)
+        walk(d, "")
+        return "\n".join(lines)
+
 
 # --------------------------------------------------------------------------
 # Presets — the experiment overlays (runner/configs/experiment/*.yaml analogue)
