@@ -284,6 +284,16 @@ def wasserstein(
     """
     assert power in (1, 2)
     n, m = x0.shape[0], x1.shape[0]
+    # Large sinkhorn W2: flash path — potentials + chunked <pi, C>, no (n, m)
+    # cost/plan in memory (squared-Euclid only, so power == 2).
+    if method == "sinkhorn" and power == 2 and n * m >= 2048 * 2048:
+        from .ops.flash_sinkhorn import (
+            sinkhorn_from_points,
+            transport_cost_from_potentials,
+        )
+
+        f, g = sinkhorn_from_points(x0, x1, reg, num_iters=num_iters)
+        return jnp.sqrt(transport_cost_from_potentials(x0, x1, f, g, reg))
     M = sq_euclidean_cost(x0, x1)
     if power == 1:
         M = jnp.sqrt(M + 1e-30)

@@ -487,3 +487,22 @@ def test_sample_plan_flash_path_pairs_clusters():
     a2, b2 = s2.sample_plan(jax.random.fold_in(key, 5), x0, x1)
     d2 = jnp.sum((a2 - b2) ** 2, axis=1)
     assert float(jnp.max(d2)) < 10.0
+
+
+def test_wasserstein_flash_path_matches_materialized():
+    """The large-n sinkhorn W2 flash route equals the materialized route
+    (threshold forced low by monkeypatching is avoided — instead compare the
+    two implementations directly at small n)."""
+    from cfm_tpu.coupling import wasserstein
+    from cfm_tpu.ops.flash_sinkhorn import (
+        sinkhorn_from_points,
+        transport_cost_from_potentials,
+    )
+
+    key = jax.random.PRNGKey(1)
+    x0 = jax.random.normal(key, (96, 4))
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (96, 4)) + 1.0
+    ref = float(wasserstein(x0, x1, method="sinkhorn", reg=0.2))
+    f, g = sinkhorn_from_points(x0, x1, 0.2)
+    got = float(jnp.sqrt(transport_cost_from_potentials(x0, x1, f, g, 0.2)))
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
