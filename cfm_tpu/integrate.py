@@ -31,6 +31,7 @@ from typing import Callable, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 VectorField = Callable[[Array, Array], Array]  # (t_scalar, x) -> dx/dt
@@ -168,8 +169,10 @@ def odeint(
     raise ValueError(f"Unknown ODE method: {method}")
 
 
-# Dormand-Prince 5(4) Butcher tableau.
-_DP_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+# Dormand-Prince 5(4) Butcher tableau. Plain numpy ON PURPOSE: module-level
+# jnp.array would initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multihost programs (parallel/mesh.py notes).
+_DP_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
 # Dense-output coefficients (Hairer & Wanner, "Solving ODEs I", DOPRI5
 # contd5): the 4th-order continuous extension used by production dopri5
 # implementations (torchdiffeq's interp_fit matches the same polynomial).
@@ -183,16 +186,16 @@ _DP_D = (
     69997945 / 29380423,
 )
 _DP_A = [
-    jnp.array([]),
-    jnp.array([1 / 5]),
-    jnp.array([3 / 40, 9 / 40]),
-    jnp.array([44 / 45, -56 / 15, 32 / 9]),
-    jnp.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
-    jnp.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
-    jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
+    np.array([]),
+    np.array([1 / 5]),
+    np.array([3 / 40, 9 / 40]),
+    np.array([44 / 45, -56 / 15, 32 / 9]),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656]),
+    np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]),
 ]
-_DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
-_DP_B4 = jnp.array(
+_DP_B5 = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84, 0.0])
+_DP_B4 = np.array(
     [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200, 187 / 2100, 1 / 40]
 )
 

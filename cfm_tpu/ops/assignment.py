@@ -28,7 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_NEG_INF = jnp.asarray(-jnp.inf, dtype=jnp.float32)
+# Python float on purpose: a module-level jnp constant would initialize
+# the XLA backend at import, breaking multihost jax.distributed init.
+_NEG_INF = float("-inf")
 
 
 @functools.partial(jax.jit, static_argnames=("num_phases", "max_rounds"))

@@ -36,16 +36,25 @@ def initialize_distributed(
 ) -> None:
     """Multihost init. Reads JAX_COORDINATOR_ADDRESS / defaults from env;
     no-op when single-process (the reference's dist.init_process_group
-    analogue, utils_cifar.py:15-39)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    analogue, utils_cifar.py:15-39).
+
+    IMPORTANT: must run before ANY backend-touching JAX call — so the
+    already-initialized guard checks the distributed client directly; a
+    ``jax.process_count()`` guard would itself initialize the backend and
+    make distributed init impossible (the round-1 bug this replaces,
+    caught by tests/test_multihost.py)."""
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return  # single host
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:
+        return  # already initialized
     jax.distributed.initialize(
         coordinator_address=addr,
         num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+        process_id=process_id if process_id is not None
+        else int(os.environ.get("JAX_PROCESS_ID", "0")),
     )
 
 
