@@ -186,27 +186,41 @@ class OTPlanSampler:
         by Gumbel-max — i stratified over rows instead of iid multinomial
         (same marginal law over pairs, lower variance)."""
         n, m = x0.shape[0], x1.shape[0]
-        if self._use_flash(n, m, replace):
+        if self._use_flash(x0, x1, replace):
             from .ops.flash_sinkhorn import (
                 plan_sample_from_potentials,
                 sinkhorn_from_points,
             )
 
-            kf, ks = jax.random.split(key)
+            ks, ku = jax.random.split(key)
             f, g = sinkhorn_from_points(x0, x1, self.reg,
                                         num_iters=self.num_iters)
             j = plan_sample_from_potentials(ks, x0, x1, f, g, self.reg)
+            # Degenerate-solve fallback, mirroring get_map's uniform-plan
+            # guard (:137-141): non-finite potentials would make every
+            # Gumbel-argmax collapse to column 0 — pair uniformly instead.
+            ok = jnp.logical_and(jnp.all(jnp.isfinite(f)), jnp.all(jnp.isfinite(g)))
+            j_uniform = jax.random.randint(ku, (n,), 0, m)
+            j = jnp.where(ok, j, j_uniform)
             return x0, x1[j]
         pi = self.get_map(x0, x1)
         i, j = self.sample_map(key, pi, x0.shape[0], replace=replace)
         return x0[i], x1[j]
 
-    def _use_flash(self, n: int, m: int, replace: bool) -> bool:
+    def _use_flash(self, x0: jax.Array, x1: jax.Array, replace: bool) -> bool:
         if self.method != "sinkhorn" or not replace or self.normalize_cost:
             return False
         if self.flash is not None:
-            return self.flash
-        return n * m >= 2048 * 2048
+            return self.flash  # explicit user choice (XLA-twin solve off-TPU)
+        from .ops.flash_sinkhorn import flash_kernel_supported
+
+        n, m = x0.shape[0], x1.shape[0]
+        d = int(math.prod(x0.shape[1:])) if x0.ndim > 1 else 1
+        # Auto-route only when the Pallas kernel actually runs (right backend,
+        # aligned tiles, point clouds within the VMEM budget — flattened
+        # image batches fail that and would OOM); the XLA twin would bring
+        # no benefit over get_map.
+        return flash_kernel_supported(n, m, d) and n * m >= 2048 * 2048
 
     def sample_plan_exact_order(
         self, x0: jax.Array, x1: jax.Array
@@ -286,7 +300,11 @@ def wasserstein(
     n, m = x0.shape[0], x1.shape[0]
     # Large sinkhorn W2: flash path — potentials + chunked <pi, C>, no (n, m)
     # cost/plan in memory (squared-Euclid only, so power == 2).
-    if method == "sinkhorn" and power == 2 and n * m >= 2048 * 2048:
+    from .ops.flash_sinkhorn import flash_kernel_supported
+
+    _d = int(math.prod(x0.shape[1:])) if x0.ndim > 1 else 1
+    if (method == "sinkhorn" and power == 2 and n * m >= 2048 * 2048
+            and flash_kernel_supported(n, m, _d)):
         from .ops.flash_sinkhorn import (
             sinkhorn_from_points,
             transport_cost_from_potentials,

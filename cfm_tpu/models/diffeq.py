@@ -470,10 +470,15 @@ class MixtureODELayer(nn.Module):
     @nn.compact
     def __call__(self, t, x: Array) -> Array:
         assert len(self.experts) > 1
-        dys = jnp.stack([f(t, x) for f in self.experts], axis=0)
-        t_in = jnp.asarray(t, x.dtype).reshape(-1, 1)[:1]      # (1, 1)
-        w = nn.Dense(len(self.experts), name="mixture_weights")(t_in)  # (1, E)
-        w = w.reshape(len(self.experts), *([1] * (dys.ndim - 1)))
+        dys = jnp.stack([f(t, x) for f in self.experts], axis=0)  # (E, bs, ...)
+        # Per-SAMPLE weights: broadcast scalar t to the batch like every
+        # other layer in this family (the reference evaluates one scalar t
+        # per solver step; truncating a batched t to t[0] would silently
+        # mis-weight every sample but the first).
+        tc = _t_col(t, x)                                      # (bs, 1)
+        w = nn.Dense(len(self.experts), name="mixture_weights")(tc)  # (bs, E)
+        w = jnp.moveaxis(w, -1, 0)                             # (E, bs)
+        w = w.reshape(w.shape + (1,) * (dys.ndim - 2))
         return jnp.sum(dys * w, axis=0)
 
 

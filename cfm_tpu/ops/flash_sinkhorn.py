@@ -155,13 +155,42 @@ def _pick_tile(size: int, target: int) -> int:
     return max(t, 1)
 
 
+def _pick_aligned_tile(size: int, target: int, align: int) -> Optional[int]:
+    """Largest divisor of ``size`` that is <= target and a multiple of
+    ``align`` (Mosaic dynamic slices must be tile-aligned: 8 on the sublane
+    dim, 128 on the lane dim). ``size`` itself is legal regardless of
+    alignment (a full-axis slice at offset 0). None if nothing fits."""
+    if size <= target:
+        return size
+    t = (target // align) * align
+    while t >= align:
+        if size % t == 0:
+            return t
+        t -= align
+    return None
+
+
+def _pallas_tiles(n: int, m: int) -> Optional[Tuple[int, int]]:
+    tile_i = _pick_aligned_tile(n, 512, 8)      # sublane-dim slices of f/x
+    tile_j = _pick_aligned_tile(m, 512, 128)    # lane-dim slices of g/sqy
+    if tile_i is None or tile_j is None:
+        return None
+    return tile_i, tile_j
+
+
+# The kernel holds x, y, the potentials and (tile_i, tile_j) temporaries in
+# VMEM; cap the point-cloud residency well under the ~16 MB scoped limit.
+_VMEM_POINT_BUDGET_BYTES = 8 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("num_iters", "tol"))
 def _flash_sinkhorn_pallas(x, y, loga, logb, reg, num_iters, tol):
     n, d = x.shape
     m = y.shape[0]
     del d
-    tile_j = _pick_tile(m, 512)
-    tile_i = _pick_tile(n, 512)
+    tiles = _pallas_tiles(n, m)
+    assert tiles is not None, "caller must gate on flash_kernel_supported"
+    tile_i, tile_j = tiles
     sqx = jnp.sum(jnp.square(x), axis=1, keepdims=True)        # (n, 1)
     sqy = jnp.sum(jnp.square(y), axis=1, keepdims=True).T      # (1, m)
     scal = jnp.stack([jnp.asarray(reg, jnp.float32),
@@ -230,10 +259,22 @@ def sinkhorn_from_points(
     loga = jnp.log((jnp.full((n,), 1.0 / n) if a is None else a).astype(jnp.float32))
     logb = jnp.log((jnp.full((m,), 1.0 / m) if b is None else b).astype(jnp.float32))
     x2, y2 = _center(x.reshape(n, -1), y.reshape(m, -1))
-    use_pallas = (INTERPRET or jax.default_backend() in ("tpu", "axon")) \
-        and n % 8 == 0 and m % 8 == 0
-    impl = _flash_sinkhorn_pallas if use_pallas else _flash_sinkhorn_xla
+    impl = (_flash_sinkhorn_pallas
+            if flash_kernel_supported(n, m, x2.shape[1])
+            else _flash_sinkhorn_xla)
     return impl(x2, y2, loga, logb, reg, num_iters, tol)
+
+
+def flash_kernel_supported(n: int, m: int, d: int) -> bool:
+    """True when the Pallas kernel can run: a TPU backend, tile-aligned
+    slice sizes available, and the VMEM-resident point clouds within budget
+    (high-dimensional clouds like flattened CIFAR batches overflow the
+    ~16 MB scoped VMEM — those fall back to the materialized XLA twin)."""
+    if not (INTERPRET or jax.default_backend() in ("tpu", "axon")):
+        return False
+    if _pallas_tiles(n, m) is None:
+        return False
+    return 4 * d * (n + m) <= _VMEM_POINT_BUDGET_BYTES
 
 
 def _center(x2, y2):
@@ -258,28 +299,29 @@ def plan_sample_from_potentials(
     (n,) int32 column indices — the coupling resample, cf.
     OTPlanSampler.sample_map with one draw per row."""
     n = x.shape[0]
+    del f  # Gumbel-max over a row is invariant to the row-constant f_i
     x2, y2 = _center(x.reshape(n, -1), y.reshape(y.shape[0], -1))
     sqy = jnp.sum(jnp.square(y2), axis=1)
     chunk = _pick_tile(n, chunk)
     keys = jax.random.split(key, n // chunk)
 
     def one(args):
-        k, xc, fc = args
+        k, xc = args
         logits = (g[None, :] - _cost_chunk(xc, y2, sqy)) / reg
         gum = jax.random.gumbel(k, logits.shape)
         return jnp.argmax(logits + gum, axis=1).astype(jnp.int32)
 
-    idx = jax.lax.map(one, (keys, x2.reshape(-1, chunk, x2.shape[1]),
-                            f.reshape(-1, chunk)))
+    idx = jax.lax.map(one, (keys, x2.reshape(-1, chunk, x2.shape[1])))
     return idx.reshape(n)
 
 
 def transport_cost_from_potentials(
     x: jax.Array, y: jax.Array, f: jax.Array, g: jax.Array, reg: float,
-    a: Optional[jax.Array] = None, chunk: int = 1024,
+    chunk: int = 1024,
 ) -> jax.Array:
     """<pi, C> accumulated in row chunks (the ``pot.sinkhorn2`` value) —
-    no dense plan or cost in memory."""
+    no dense plan or cost in memory. Marginals are already encoded in the
+    potentials (via loga/logb in the solve), so none are taken here."""
     n = x.shape[0]
     x2, y2 = _center(x.reshape(n, -1), y.reshape(y.shape[0], -1))
     sqy = jnp.sum(jnp.square(y2), axis=1)

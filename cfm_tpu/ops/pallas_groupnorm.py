@@ -211,25 +211,23 @@ def _gn_silu_reference(x, scale, bias, num_groups: int, eps: float, apply_silu: 
     n, h, w, c = x.shape
     cg = c // num_groups
     xf = x.astype(jnp.float32).reshape(n, h * w, c)
-    # Layout + fusion notes (xplane-measured, v5e):
-    # 1. Stay channels-last. The textbook (n, hw, g, cg) reshape puts
-    #    cg (= 4 at C=128/G=32) on the 128-wide lane dim — every tile is
-    #    97% empty and the stats/normalize passes run ~7x off the traffic
-    #    roofline. Reducing over hw per CHANNEL keeps lanes full; the
-    #    group combine then runs on tiny (n, c) tensors.
-    # 2. One-pass moments: E[x] and E[x^2] are sibling reductions over the
-    #    same input, so XLA multi-output-fuses them into ONE read of x.
-    #    The recentered form (mean, then mean((x-mean)^2)) forces two
-    #    sequential passes. E[x^2]-E[x]^2 is safe here: stats are f32 and
-    #    post-conv activations are near zero-mean.
+    # Channels-last two-pass statistics. Round-2 experiments (xplane-
+    # measured on v5e, documented in README "Where the step time goes")
+    # tried (a) one-pass E[x^2]-E[x]^2 moments and (b) (n, hw, g, cg)
+    # layouts — both perf-NEUTRAL because XLA already mega-fuses the whole
+    # conv+GN+silu+stats chain at ~80% MXU peak. The recentered two-pass
+    # form is kept because it is the numerically robust one (E[x^2]-E[x]^2
+    # catastrophically cancels in f32 when |mean| >> std, and the Pallas
+    # kernel in this file deliberately uses the recentered form too — the
+    # fallback and the kernel must be the same function).
     s1 = jnp.mean(xf, axis=1)                              # (n, c)
-    s2 = jnp.mean(jnp.square(xf), axis=1)                  # (n, c)
     m1 = jnp.mean(s1.reshape(n, num_groups, cg), axis=-1)  # (n, g)
-    m2 = jnp.mean(s2.reshape(n, num_groups, cg), axis=-1)
-    var = jnp.maximum(m2 - jnp.square(m1), 0.0)
     mean_c = jnp.repeat(m1, cg, axis=-1)                   # (n, c)
+    centered = xf - mean_c[:, None, :]
+    s2 = jnp.mean(jnp.square(centered), axis=1)            # (n, c)
+    var = jnp.mean(s2.reshape(n, num_groups, cg), axis=-1) # (n, g)
     rstd_c = jnp.repeat(jax.lax.rsqrt(var + eps), cg, axis=-1)
-    norm = ((xf - mean_c[:, None, :]) * rstd_c[:, None, :]).reshape(n, h, w, c)
+    norm = (centered * rstd_c[:, None, :]).reshape(n, h, w, c)
     out = norm * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if apply_silu:
         out = out * jax.nn.sigmoid(out)

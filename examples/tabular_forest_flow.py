@@ -16,9 +16,10 @@ Usage: python examples/tabular_forest_flow.py [--n_t 20] [--steps 100]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -18,9 +18,10 @@ fm | si (stochastic interpolant = vpcfm).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")  # repo-root import of cfm_tpu
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # repo-root import of cfm_tpu
 
 from cfm_tpu.config import load_config
 from cfm_tpu.trainer import Trainer

@@ -401,7 +401,6 @@ def test_flash_sinkhorn_kernel_interpret_matches_xla():
     finally:
         fs.INTERPRET = old
     np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_p), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-4, atol=1e-5)
 
 

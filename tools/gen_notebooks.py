@@ -459,8 +459,8 @@ target = sample_moons(jax.random.fold_in(key, 9), n)
 ts = jnp.linspace(0, 1, 101)
 
 fig, axes = plt.subplots(1, len(trained), figsize=(4 * len(trained), 4))
-for ax, (name, (model, state, src)) in zip(axes, trained.items()):
-    k = jax.random.fold_in(key, hash(name) % 1000)
+for idx, (ax, (name, (model, state, src))) in enumerate(zip(axes, trained.items())):
+    k = jax.random.fold_in(key, idx)
     x0 = src(k, n) if src else jax.random.normal(k, (n, 2))
     f = vector_field_from_model(model.apply, state.ema_params)
     sol = odeint(f, x0, ts, method="euler")
