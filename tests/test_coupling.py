@@ -505,3 +505,26 @@ def test_wasserstein_flash_path_matches_materialized():
     f, g = sinkhorn_from_points(x0, x1, 0.2)
     got = float(jnp.sqrt(transport_cost_from_potentials(x0, x1, f, g, 0.2)))
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_flash_sinkhorn_nonuniform_marginals():
+    """sinkhorn_from_points with weighted marginals equals ops/sinkhorn on
+    the materialized cost with the same (a, b)."""
+    from cfm_tpu.ops.flash_sinkhorn import sinkhorn_from_points
+    from cfm_tpu.ops.sinkhorn import sinkhorn
+
+    key = jax.random.PRNGKey(9)
+    x = jax.random.normal(key, (40, 3))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (56, 3)) + 0.5
+    a = jax.random.uniform(jax.random.fold_in(key, 2), (40,)) + 0.1
+    a = a / jnp.sum(a)
+    b = jax.random.uniform(jax.random.fold_in(key, 3), (56,)) + 0.1
+    b = b / jnp.sum(b)
+    f, g = sinkhorn_from_points(x, y, reg=0.4, a=a, b=b)
+    M = jnp.sum((x[:, None, :] - y[None, :, :]) ** 2, -1)
+    plan_ref = sinkhorn(a, b, M, reg=0.4)
+    plan = jnp.exp((f[:, None] + g[None, :] - M) / 0.4)
+    np.testing.assert_allclose(np.asarray(plan), np.asarray(plan_ref),
+                               rtol=2e-4, atol=1e-7)
+    # marginals honored
+    np.testing.assert_allclose(np.asarray(plan.sum(1)), np.asarray(a), atol=1e-4)
