@@ -106,6 +106,7 @@ class MetricLogger:
 
     def __init__(self, log_dir: str, name: str):
         os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
         self.path = os.path.join(log_dir, f"{name}_metrics.csv")
         self.jsonl_path = os.path.join(log_dir, f"{name}_metrics.jsonl")
         self._writer = None
@@ -430,6 +431,15 @@ class Trainer:
             # every iteration (a full tunnel round-trip on axon).
             self.ckpt.save(self.state, step=step)
         self.ckpt.save(self.state, force=True)
+        # Per-task execution time file (the reference's task_wrapper writes
+        # exec_time.log for multirun bookkeeping, runner/src/utils/utils.py:43-45).
+        try:
+            executed = max(total - start, 0)  # 0 when resuming a finished run
+            with open(os.path.join(self.logger.log_dir, "exec_time.log"), "a") as fh:
+                fh.write(f"{cfg.name}: {executed} steps in "
+                         f"{time.perf_counter() - t0:.1f}s\n")
+        except OSError:
+            pass
         return self.state
 
     # -- evaluation -------------------------------------------------------
