@@ -93,6 +93,14 @@ class TrainerConfig:
     # the reference's generate_samples at each save (utils_cifar.py:42-73).
     sample_grid_interval: int = 0
     sample_grid_n: int = 64
+    # Early stopping on an eval metric (the reference runner's Lightning
+    # EarlyStopping callback, runner/configs/callbacks/early_stopping.yaml:
+    # monitor + patience + min_delta, mode=min). Checked at every eval
+    # (eval_interval); "" disables. Patience counts evals without
+    # improvement, like Lightning's check_on_train_epoch_end=False mode.
+    early_stop_metric: str = ""
+    early_stop_patience: int = 3
+    early_stop_min_delta: float = 0.0
 
 
 @dataclass

@@ -199,7 +199,16 @@ class OTPlanSampler:
             # Degenerate-solve fallback, mirroring get_map's uniform-plan
             # guard (:137-141): non-finite potentials would make every
             # Gumbel-argmax collapse to column 0 — pair uniformly instead.
-            ok = jnp.logical_and(jnp.all(jnp.isfinite(f)), jnp.all(jnp.isfinite(g)))
+            # Finite-but-unconverged solves (e.g. tiny reg underflowing every
+            # row) pass the isfinite check, so also require the implied
+            # plan's row marginals to be near a_i (cheap chunked pass).
+            from .ops.flash_sinkhorn import row_marginal_error_from_potentials
+
+            err = row_marginal_error_from_potentials(x0, x1, f, g, self.reg)
+            ok = jnp.logical_and(
+                jnp.logical_and(jnp.all(jnp.isfinite(f)), jnp.all(jnp.isfinite(g))),
+                err < 0.5,  # relative row-mass error; NaN compares False
+            )
             j_uniform = jax.random.randint(ku, (n,), 0, m)
             j = jnp.where(ok, j, j_uniform)
             return x0, x1[j]

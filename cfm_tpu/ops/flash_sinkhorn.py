@@ -315,6 +315,34 @@ def plan_sample_from_potentials(
     return idx.reshape(n)
 
 
+def row_marginal_error_from_potentials(
+    x: jax.Array, y: jax.Array, f: jax.Array, g: jax.Array, reg: float,
+    a: Optional[jax.Array] = None, chunk: int = 1024,
+) -> jax.Array:
+    """Max relative row-marginal error of the implied plan — a cheap
+    convergence certificate for a finished solve. One extra chunked pass
+    (~one sinkhorn iteration of compute, no (n, m) tensor): an unconverged
+    or underflowed solve whose potentials are still finite shows up here as
+    rows whose mass is far from a_i, which the finite-potential guard alone
+    cannot see."""
+    n = x.shape[0]
+    a_vec = (jnp.full((n,), 1.0 / n) if a is None else a).astype(jnp.float32)
+    x2, y2 = _center(x.reshape(n, -1), y.reshape(y.shape[0], -1))
+    sqy = jnp.sum(jnp.square(y2), axis=1)
+    chunk = _pick_tile(n, chunk)
+
+    def one(args):
+        xc, fc, ac = args
+        c = _cost_chunk(xc, y2, sqy)
+        row = jnp.sum(jnp.exp((fc[:, None] + g[None, :] - c) / reg), axis=1)
+        return jnp.max(jnp.abs(row - ac) / jnp.maximum(ac, 1e-30))
+
+    parts = jax.lax.map(one, (x2.reshape(-1, chunk, x2.shape[1]),
+                              f.reshape(-1, chunk),
+                              a_vec.reshape(-1, chunk)))
+    return jnp.max(parts)
+
+
 def transport_cost_from_potentials(
     x: jax.Array, y: jax.Array, f: jax.Array, g: jax.Array, reg: float,
     chunk: int = 1024,

@@ -46,16 +46,31 @@ def initialize_distributed(
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return  # single host
-    from jax._src import distributed as _dist
+    # Already-initialized guard without touching the backend. Prefer the
+    # public accessor; fall back to the private client handle on JAX
+    # versions that lack it, and to attempting initialize() if both vanish.
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:
+        try:
+            from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:
-        return  # already initialized
-    jax.distributed.initialize(
-        coordinator_address=addr,
-        num_processes=num_processes or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-        process_id=process_id if process_id is not None
-        else int(os.environ.get("JAX_PROCESS_ID", "0")),
-    )
+            if _dist.global_state.client is not None:
+                return
+        except (ImportError, AttributeError):
+            pass
+    try:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=num_processes
+            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=process_id if process_id is not None
+            else int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+    except RuntimeError as e:  # double-init race when guards were unavailable
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(

@@ -143,13 +143,16 @@ def _parzen_bandwidths(obs: List[float], lo: float, hi: float) -> List[float]:
     domain width. Narrow where observations cluster (exploitation), wide
     where they are sparse (exploration)."""
     width = hi - lo
-    srt = sorted(obs)
-    sigmas = {}
-    for i, x in enumerate(srt):
-        left = srt[i - 1] if i > 0 else lo
-        right = srt[i + 1] if i + 1 < len(srt) else hi
-        sigmas[x] = min(max(max(x - left, right - x), 0.01 * width), 0.5 * width)
-    return [sigmas[x] for x in obs]
+    order = sorted(range(len(obs)), key=lambda i: obs[i])
+    sigmas = [0.0] * len(obs)
+    for rank, i in enumerate(order):
+        x = obs[i]
+        left = obs[order[rank - 1]] if rank > 0 else lo
+        right = obs[order[rank + 1]] if rank + 1 < len(order) else hi
+        # Positional (not value-keyed): duplicate observations each keep
+        # their true neighbor-gap bandwidth instead of the last duplicate's.
+        sigmas[i] = min(max(max(x - left, right - x), 0.01 * width), 0.5 * width)
+    return sigmas
 
 
 def _parzen_logpdf(x: float, obs: List[float], sigmas: List[float],

@@ -374,72 +374,94 @@ class Trainer:
         prefetched = put(next(self._batches)) if streaming else None
         t0 = time.perf_counter()
         last_log_t, last_log_step = t0, start
-        for i in range(start, total):
-            self.key, step_key = jax.random.split(self.key)
-            if on_device:
-                if cfg.model.class_cond:
-                    self.state, metrics = fused(
-                        self.state, step_key, self._device_data, self._device_labels
-                    )
-                else:
-                    self.state, metrics = fused(self.state, step_key, self._device_data)
-            elif streaming:
-                nxt = put(next(self._batches))  # async: overlaps current step
-                if cfg.model.class_cond:
-                    x1_u8, y = prefetched
-                    self.state, metrics = fused(self.state, step_key, x1_u8, y)
-                else:
-                    self.state, metrics = fused(self.state, step_key, prefetched)
-                prefetched = nxt
-            else:
-                self.state, metrics = fused(self.state, step_key)
-            step = i + 1
-            if step % cfg.trainer.log_interval == 0 or step == total:
-                now = time.perf_counter()
-                sps = (step - last_log_step) / max(now - last_log_t, 1e-9)
-                last_log_t, last_log_step = now, step
-                out = {k: float(v) for k, v in metrics.items()}
-                out["steps_per_s"] = sps
-                self.logger.log(step, out)
-                print(f"step {step:7d}  loss {out['loss']:.4f}  {sps:.2f} steps/s")
-                if not np.isfinite(out["loss"]):
-                    # Fail fast instead of burning steps on a diverged run
-                    # (reference's DSBM guard, cfm_module.py:1224-1225).
-                    raise ValueError(f"Loss Not Finite at step {step}: {out['loss']}")
-            if cfg.trainer.eval_interval and step % cfg.trainer.eval_interval == 0 and not self.is_image:
-                ev = self.evaluate()
-                self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})
-                print("  eval:", {k: round(v, 4) for k, v in ev.items()})
-            if (
-                self.is_image
-                and cfg.trainer.sample_grid_interval
-                and step % cfg.trainer.sample_grid_interval == 0
-            ):
-                from .eval.plotting import image_grid
-
-                self.key, kg = jax.random.split(self.key)
-                imgs = self.generate(kg, cfg.trainer.sample_grid_n,
-                                     method="euler", n_steps=cfg.eval.ode_steps)
-                path = image_grid(
-                    imgs, nrow=8,
-                    save_path=os.path.join(
-                        cfg.trainer.ckpt_dir, cfg.name, f"samples_{step}.png"
-                    ),
-                )
-                print(f"  saved sample grid: {path}")
-            # Host-side step counter: reading state.step would sync the device
-            # every iteration (a full tunnel round-trip on axon).
-            self.ckpt.save(self.state, step=step)
-        self.ckpt.save(self.state, force=True)
-        # Per-task execution time file (the reference's task_wrapper writes
-        # exec_time.log for multirun bookkeeping, runner/src/utils/utils.py:43-45).
+        step = start
+        es_best, es_bad = float("inf"), 0  # early-stopping state
         try:
-            executed = max(total - start, 0)  # 0 when resuming a finished run
-            with open(os.path.join(self.logger.log_dir, "exec_time.log"), "a") as fh:
-                fh.write(f"{cfg.name}: {executed} steps in "
-                         f"{time.perf_counter() - t0:.1f}s\n")
-        except OSError:
-            pass
+            for i in range(start, total):
+                self.key, step_key = jax.random.split(self.key)
+                if on_device:
+                    if cfg.model.class_cond:
+                        self.state, metrics = fused(
+                            self.state, step_key, self._device_data, self._device_labels
+                        )
+                    else:
+                        self.state, metrics = fused(self.state, step_key, self._device_data)
+                elif streaming:
+                    nxt = put(next(self._batches))  # async: overlaps current step
+                    if cfg.model.class_cond:
+                        x1_u8, y = prefetched
+                        self.state, metrics = fused(self.state, step_key, x1_u8, y)
+                    else:
+                        self.state, metrics = fused(self.state, step_key, prefetched)
+                    prefetched = nxt
+                else:
+                    self.state, metrics = fused(self.state, step_key)
+                step = i + 1
+                if step % cfg.trainer.log_interval == 0 or step == total:
+                    now = time.perf_counter()
+                    sps = (step - last_log_step) / max(now - last_log_t, 1e-9)
+                    last_log_t, last_log_step = now, step
+                    out = {k: float(v) for k, v in metrics.items()}
+                    out["steps_per_s"] = sps
+                    self.logger.log(step, out)
+                    print(f"step {step:7d}  loss {out['loss']:.4f}  {sps:.2f} steps/s")
+                    if not np.isfinite(out["loss"]):
+                        # Fail fast instead of burning steps on a diverged run
+                        # (reference's DSBM guard, cfm_module.py:1224-1225).
+                        raise ValueError(f"Loss Not Finite at step {step}: {out['loss']}")
+                if cfg.trainer.eval_interval and step % cfg.trainer.eval_interval == 0 and not self.is_image:
+                    ev = self.evaluate()
+                    self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})
+                    print("  eval:", {k: round(v, 4) for k, v in ev.items()})
+                    # Early stopping (reference runner's Lightning callback,
+                    # runner/configs/callbacks/early_stopping.yaml: monitor/
+                    # patience/min_delta, mode=min on an eval metric).
+                    es = cfg.trainer.early_stop_metric
+                    if es:
+                        cur = float(ev[es])
+                        if cur < es_best - cfg.trainer.early_stop_min_delta:
+                            es_best, es_bad = cur, 0
+                        else:
+                            es_bad += 1
+                            if es_bad >= cfg.trainer.early_stop_patience:
+                                print(f"early stop at step {step}: {es} did not "
+                                      f"improve past {es_best:.4f} for "
+                                      f"{es_bad} evals")
+                                break
+                if (
+                    self.is_image
+                    and cfg.trainer.sample_grid_interval
+                    and step % cfg.trainer.sample_grid_interval == 0
+                ):
+                    from .eval.plotting import image_grid
+
+                    self.key, kg = jax.random.split(self.key)
+                    imgs = self.generate(kg, cfg.trainer.sample_grid_n,
+                                         method="euler", n_steps=cfg.eval.ode_steps)
+                    path = image_grid(
+                        imgs, nrow=8,
+                        save_path=os.path.join(
+                            cfg.trainer.ckpt_dir, cfg.name, f"samples_{step}.png"
+                        ),
+                    )
+                    print(f"  saved sample grid: {path}")
+                # Host-side step counter: reading state.step would sync the device
+                # every iteration (a full tunnel round-trip on axon).
+                self.ckpt.save(self.state, step=step)
+        finally:
+            # Per-task execution time file (the reference's task_wrapper writes
+            # exec_time.log for multirun bookkeeping,
+            # runner/src/utils/utils.py:43-45). In the finally so early exits
+            # (KeyboardInterrupt, non-finite loss) still record the steps
+            # ACTUALLY executed, not the planned total.
+            try:
+                executed = max(step - start, 0)  # 0 when resuming a finished run
+                with open(os.path.join(self.logger.log_dir, "exec_time.log"), "a") as fh:
+                    fh.write(f"{cfg.name}: {executed} steps in "
+                             f"{time.perf_counter() - t0:.1f}s\n")
+            except OSError:
+                pass
+        self.ckpt.save(self.state, force=True)
         return self.state
 
     # -- evaluation -------------------------------------------------------

@@ -338,7 +338,7 @@ def test_pallas_auction_on_tpu():
     assert abs(ca - copt) / copt < 1e-5
 
 
-@pytest.mark.parametrize("n", [1024, 2048])
+@pytest.mark.parametrize("n", [1024, 2048, 4096])
 def test_pallas_auction_tiled_on_tpu(n):
     """Tiled auction (compact state; HBM-streamed benefit at n=2048) is
     near-optimal vs the native JV solver and a valid permutation — the
@@ -528,3 +528,63 @@ def test_flash_sinkhorn_nonuniform_marginals():
                                rtol=2e-4, atol=1e-7)
     # marginals honored
     np.testing.assert_allclose(np.asarray(plan.sum(1)), np.asarray(a), atol=1e-4)
+
+
+def test_row_marginal_error_certificate():
+    """Converged potentials certify (tiny row-marginal error); finite-but-
+    wrong potentials (the underflow failure mode the sample_plan guard must
+    catch) produce a large error — isfinite alone cannot distinguish them."""
+    from cfm_tpu.ops.flash_sinkhorn import (
+        row_marginal_error_from_potentials,
+        sinkhorn_from_points,
+    )
+
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (64, 2))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (64, 2)) + 1.0
+    f, g = sinkhorn_from_points(x, y, reg=0.5)
+    err = float(row_marginal_error_from_potentials(x, y, f, g, 0.5))
+    assert err < 1e-3, err
+
+    # Finite but massively under-scaled potentials: every row's plan mass
+    # collapses toward zero -> relative marginal error ~1.
+    bad = float(row_marginal_error_from_potentials(x, y, f - 50.0, g, 0.5))
+    assert np.isfinite(bad) and bad > 0.9, bad
+
+
+def test_sample_plan_flash_unconverged_falls_back_uniform(monkeypatch):
+    """A finite-but-unconverged flash solve must trigger the uniform-pair
+    fallback (same behavior as get_map's degenerate-plan guard) instead of
+    feeding near-arbitrary argmax pairings downstream."""
+    from cfm_tpu import coupling as cp
+    from cfm_tpu.ops import flash_sinkhorn as fs
+
+    key = jax.random.PRNGKey(4)
+    n = 64
+    x0 = jax.random.normal(key, (n, 2))
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (n, 2)) + 20.0
+
+    # Two well-separated cluster pairs: a working flash path pairs strictly
+    # within-cluster (see test_sample_plan_flash_path_pairs_clusters); the
+    # uniform fallback pairs ~half the rows across clusters.
+    half = n // 2
+    far = jnp.array([30.0, 0.0])
+    x0 = jnp.concatenate([x0[:half] * 0.1, x0[half:] * 0.1 + far])
+    x1 = jnp.concatenate([x1[:half] * 0.0 + jax.random.normal(
+        jax.random.fold_in(key, 5), (half, 2)) * 0.1,
+        jax.random.normal(jax.random.fold_in(key, 6), (half, 2)) * 0.1 + far])
+
+    real_solve = fs.sinkhorn_from_points
+
+    def broken_solve(x, y, reg, **kw):
+        f, g = real_solve(x, y, reg, **kw)
+        return f - 50.0, g  # finite, wrong scale -> rows underflow
+
+    monkeypatch.setattr(
+        "cfm_tpu.ops.flash_sinkhorn.sinkhorn_from_points", broken_solve
+    )
+    s = cp.OTPlanSampler(method="sinkhorn", reg=0.5, flash=True)
+    a, b = s.sample_plan(jax.random.fold_in(key, 2), x0, x1)
+    d = np.asarray(jnp.sum((a - b) ** 2, axis=1))
+    cross = float((d > 100.0).mean())
+    assert cross > 0.2, f"guard did not fire: cross-cluster frac {cross}"

@@ -309,3 +309,46 @@ def test_cli_train_yaml_config(tmp_path):
         "eval:\n  num_eval_samples: 64\n"
     )
     assert main(["train", str(p), "trainer.log_interval=1000"]) == 0
+
+
+def test_parzen_bandwidths_positional_for_duplicates():
+    """Duplicate observations must each keep their true neighbor-gap
+    bandwidth (positional mapping), not all inherit the last duplicate's."""
+    from cfm_tpu.sweep import _parzen_bandwidths
+
+    lo, hi = 0.0, 10.0
+    obs = [2.0, 5.0, 5.0, 9.0]
+    sig = _parzen_bandwidths(obs, lo, hi)
+    assert len(sig) == 4
+    # x=2: neighbors lo and 5 -> max gap 3. First 5: left gap 3, right gap 0
+    # (its duplicate) -> 3. Second 5: left 0, right 4 -> 4. x=9: left 4,
+    # right hi gap 1 -> 4.
+    assert sig[0] == pytest.approx(3.0)
+    assert sig[1] == pytest.approx(3.0)
+    assert sig[2] == pytest.approx(4.0)
+    assert sig[3] == pytest.approx(4.0)
+    # All clipped within [1%, 50%] of width regardless.
+    assert all(0.1 <= s <= 5.0 for s in sig)
+
+
+def test_early_stopping_halts_training(tmp_path):
+    """EarlyStopping (reference runner/configs/callbacks/early_stopping.yaml
+    role): with an impossible min_delta every eval counts as no-improvement,
+    so training must halt after patience evals instead of running the full
+    budget; exec_time.log records the steps actually executed."""
+    cfg = _fast_cfg(tmp_path, extra=(
+        "trainer.total_steps=60",
+        "trainer.eval_interval=5",
+        "trainer.early_stop_metric=w2",
+        "trainer.early_stop_patience=2",
+        "trainer.early_stop_min_delta=1e9",
+    ))
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    state = trainer.fit()
+    # First eval at step 5 sets the baseline? No: with min_delta=1e9 even
+    # the first eval fails to improve on +inf - 1e9... inf-delta is still
+    # inf, so eval 1 DOES improve; evals 2 and 3 then strike out -> stop at
+    # step 15.
+    assert int(state.step) == 15, int(state.step)
+    log = open(os.path.join(trainer.logger.log_dir, "exec_time.log")).read()
+    assert " 15 steps in " in log, log
