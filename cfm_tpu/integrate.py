@@ -333,7 +333,12 @@ def _odeint_dopri5(
         x_new, err, ks = _dp_step_stages(f, t, dt, x, k1)
         e = err_ratio(err, x_new, x)
         accept = e <= 1.0
-        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(e, 1e-10)) ** 0.2, 0.2, 10.0)
+        # Decrease clamp is lifted to 1 on accepted steps (torchdiffeq
+        # convention: an accepted step never shrinks the next trial) —
+        # verified NFE-for-NFE against the independent torch oracle,
+        # tests/helpers/torch_dopri5.py.
+        dfactor = jnp.where(accept, 1.0, 0.2)
+        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(e, 1e-10)) ** 0.2, dfactor, 10.0)
         dt_next = dt * factor
         out_new = interp_writes(out, t, dt, x, x_new, ks)
         out = jax.tree.map(

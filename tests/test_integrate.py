@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+import torch
 
 from cfm_tpu.integrate import FlowSolver, odeint, sdeint
 
@@ -169,3 +170,96 @@ def test_dopri5_pytree_dense_output():
     np.testing.assert_allclose(
         np.asarray(sol.ys[1][:, 0]), np.linspace(0, 1, 11), atol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# NFE/accuracy parity vs an independent torch dopri5 oracle
+# (tests/helpers/torch_dopri5.py; the reference integrates with torchdiffeq
+# dopri5 at atol=rtol=1e-5, compute_fid.py:81-88)
+# ---------------------------------------------------------------------------
+
+_PARITY_FIELDS = [
+    # (name, jax field, torch field, y0, t0, t1, exact solution or None)
+    (
+        "linear_decay",
+        lambda t, x: -x,
+        lambda t, y: -y,
+        np.linspace(0.5, 2.0, 8).astype(np.float32),
+        0.0, 3.0,
+        lambda y0, t0, t1: y0 * np.exp(-(t1 - t0)),
+    ),
+    (
+        "damped_rotation",
+        None,  # built below from the matrix
+        None,
+        np.array([1.0, 0.25], np.float32),
+        0.0, 2.0,
+        None,  # exact via expm below
+    ),
+    (
+        "logistic",
+        lambda t, x: x * (1.0 - x),
+        lambda t, y: y * (1.0 - y),
+        np.array([0.1, 0.35, 0.8], np.float32),
+        0.0, 4.0,
+        lambda y0, t0, t1: 1.0 / (1.0 + (1.0 / y0 - 1.0) * np.exp(-(t1 - t0))),
+    ),
+    (
+        "stiffish_cosine",
+        lambda t, x: jnp.cos(8.0 * t) * x - 0.5 * x**3,
+        lambda t, y: (torch.cos(8.0 * t) * y - 0.5 * y**3),
+        np.array([1.0, -0.6, 0.3, 2.0], np.float32),
+        0.0, 3.0,
+        None,  # no closed form; cross-check jax vs torch solutions
+    ),
+]
+
+_ROT_A = np.array([[-0.1, -2.0], [2.0, -0.1]], np.float32)
+
+
+def _parity_case(case):
+    name, f_jax, f_torch, y0, t0, t1, exact = case
+    if name == "damped_rotation":
+        f_jax = lambda t, x: x @ _ROT_A.T
+        f_torch = lambda t, y: y @ torch.tensor(_ROT_A).T
+        from scipy.linalg import expm
+
+        exact = lambda y0, t0, t1: y0 @ expm(_ROT_A.T * (t1 - t0))
+    return name, f_jax, f_torch, y0, t0, t1, exact
+
+
+@pytest.mark.parametrize("case", _PARITY_FIELDS, ids=[c[0] for c in _PARITY_FIELDS])
+def test_dopri5_nfe_parity_vs_torch_oracle(case):
+    """Our while_loop dopri5 and the independent plain-torch oracle must
+    agree on BOTH the work (NFE within +-10%) and the answer (error < 30x
+    tol vs the closed form; the two solvers within 30x tol of each other)
+    at the FID protocol's rtol=atol=1e-5."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    from torch_dopri5 import dopri5 as torch_dopri5
+
+    name, f_jax, f_torch, y0, t0, t1, exact = _parity_case(case)
+    rtol = atol = 1e-5
+
+    sol = odeint(f_jax, jnp.asarray(y0), jnp.array([t0, t1]),
+                 method="dopri5", rtol=rtol, atol=atol,
+                 return_trajectory=False)
+    ours = np.asarray(sol.ys[-1])
+    nfe_jax = int(sol.nfe)
+
+    y_t, nfe_torch, _ = torch_dopri5(
+        f_torch, torch.tensor(y0), t0, t1, rtol=rtol, atol=atol
+    )
+    theirs = y_t.numpy()
+
+    rel = abs(nfe_jax - nfe_torch) / nfe_torch
+    assert rel <= 0.10, (name, nfe_jax, nfe_torch)
+    scale = np.maximum(np.abs(ours), 1.0)
+    np.testing.assert_allclose(ours / scale, theirs / scale, atol=30 * atol,
+                               err_msg=name)
+    if exact is not None:
+        ref = exact(y0, t0, t1)
+        np.testing.assert_allclose(ours / scale, ref / scale, atol=30 * atol,
+                                   err_msg=name)
