@@ -33,7 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cfm_tpu.ops.pallas_attention import fused_attention
+from cfm_tpu.ops.pallas_attention import fused_attention, fused_attention_t
 
 Array = jax.Array
 
@@ -221,21 +221,41 @@ class AttentionBlock(nn.Module):
         head_dim = c // heads
 
         tokens = GroupNorm32()(x).reshape(n, h * w, c)
-        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32)(tokens)
-        qkv5 = qkv.reshape(n, h * w, 3, heads, head_dim)
+
+        # QKV in-projection emits the attention kernel's (N, 3, H, S, D)
+        # layout DIRECTLY (and the out-projection consumes (N, H, S, D)):
+        # with einsum projections XLA folds the layout change into the
+        # matmuls' output/input maps, so the standalone qkv/out transpose
+        # copies the reshape-based composition paid (~5.7 ms/step at bs128,
+        # ROADMAP #4 / VERDICT r2 task 6) never materialize. The kernels are
+        # mathematically nn.Dense(3c)/nn.Dense(c) with reshaped weights —
+        # same init, same function (reference QKVAttention + zero-module
+        # out-proj, unet.py:237-366).
+        def _qkv_init(key, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(
+                key, (shape[0], shape[1] * shape[2] * shape[3]), dtype
+            )
+            return flat.reshape(shape)
+
+        wq = self.param("qkv_kernel", _qkv_init, (c, 3, heads, head_dim))
+        bq = self.param("qkv_bias", nn.initializers.zeros,
+                        (3, heads, head_dim), jnp.float32)
+        wo = self.param("proj_kernel", nn.initializers.zeros,
+                        (heads, head_dim, c), jnp.float32)
+        bo = self.param("proj_bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        qkv_t = jnp.einsum(
+            "nsc,ckhd->nkhsd", tokens.astype(self.dtype), wq.astype(self.dtype)
+        ) + bq.astype(self.dtype)[None, :, :, None, :]
 
         # Fused Pallas attention on TPU (no O(S^2) HBM tensors, recompute
         # backward); identical-math jnp composition elsewhere — see
         # ops/pallas_attention.py for the traffic analysis that motivated it.
         scale = 1.0 / math.sqrt(head_dim)
-        out = fused_attention(qkv5, scale).reshape(n, h * w, c)
-        out = nn.Dense(
-            c,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(out)
+        out_t = fused_attention_t(qkv_t, scale)  # (N, H, S, D)
+        out = jnp.einsum(
+            "nhsd,hdc->nsc", out_t, wo.astype(self.dtype)
+        ) + bo.astype(self.dtype)
         return x + out.reshape(n, h, w, c)
 
 

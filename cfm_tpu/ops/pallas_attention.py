@@ -120,10 +120,30 @@ def fused_attention(qkv: jax.Array, scale: float) -> jax.Array:
     return _fused_attention_fwd_impl(qkv, scale)
 
 
+# Per-grid-cell VMEM budget: TPU VMEM is ~16 MB; leave headroom for the
+# compiler's own scratch/pipelining. The batch-gridded kernel's residency
+# scales with H (all heads' q/k/v + output live per cell) so the gate must
+# bound the footprint, not just check tile alignment — e.g. H=32, S=1024,
+# D=64 bf16 is alignment-legal but needs ~30 MB and fails Mosaic compilation.
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _vmem_bytes(qkv) -> int:
+    """Worst-case (backward) per-cell residency: qkv in + dqkv out + do
+    (7*H*S*D in the model dtype), plus the f32 (S, S) logits/softmax/dp
+    working set (~3 simultaneously live) and f32 q/k/v/do head copies."""
+    N, S, _, H, D = qkv.shape
+    itemsize = qkv.dtype.itemsize
+    return itemsize * 7 * H * S * D + 4 * (3 * S * S + 4 * S * D)
+
+
 def _use_pallas(qkv) -> bool:
     N, S, three, H, D = qkv.shape
     aligned = S % 128 == 0 and D % 64 == 0
-    return aligned and (INTERPRET or jax.default_backend() in ("tpu", "axon"))
+    fits = _vmem_bytes(qkv) <= _VMEM_BUDGET_BYTES
+    return aligned and fits and (
+        INTERPRET or jax.default_backend() in ("tpu", "axon")
+    )
 
 
 def _fused_attention_fwd_impl(qkv, scale):
@@ -170,3 +190,85 @@ def _fused_attention_vjp_bwd(scale, qkv, g):
 
 
 fused_attention.defvjp(_fused_attention_vjp_fwd, _fused_attention_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-layout entry point: (N, 3, H, S, D) in -> (N, H, S, D) out, no
+# transposes. The UNet's AttentionBlock produces/consumes these layouts
+# directly via einsum projections (qkv in-proj emits nkhsd, out-proj
+# contracts nhsd), so the layout copies the (N, S, 3, H, D) API pays for
+# (~5.7 ms/step of copy ops profiled at bs128, ROADMAP #4) never exist —
+# XLA folds the layout into the projection matmuls' output/input maps.
+# ---------------------------------------------------------------------------
+
+
+def _attn_reference_t(qkv_t: jax.Array, scale: float) -> jax.Array:
+    """Plain-XLA twin on the kernel layout: (N, 3, H, S, D) -> (N, H, S, D)."""
+    q, k, v = qkv_t[:, 0], qkv_t[:, 1], qkv_t[:, 2]
+    logits = jnp.einsum(
+        "nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    w = jax.nn.softmax(logits, axis=-1).astype(qkv_t.dtype)
+    return jnp.einsum("nhqk,nhkd->nhqd", w, v)
+
+
+def _use_pallas_t(qkv_t) -> bool:
+    N, three, H, S, D = qkv_t.shape
+    aligned = S % 128 == 0 and D % 64 == 0
+    itemsize = qkv_t.dtype.itemsize
+    fits = (itemsize * 7 * H * S * D + 4 * (3 * S * S + 4 * S * D)
+            <= _VMEM_BUDGET_BYTES)
+    return aligned and fits and (
+        INTERPRET or jax.default_backend() in ("tpu", "axon")
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def fused_attention_t(qkv_t: jax.Array, scale: float) -> jax.Array:
+    """Multi-head self-attention, kernel layout: (N, 3, H, S, D) -> (N, H, S, D).
+
+    Same math and same Pallas kernels as ``fused_attention`` (which is this
+    function plus two transposes); use this when the producer/consumer can
+    emit/accept the kernel layout directly (models/unet.py AttentionBlock).
+    """
+    return _fused_attention_t_fwd_impl(qkv_t, scale)
+
+
+def _fused_attention_t_fwd_impl(qkv_t, scale):
+    if not _use_pallas_t(qkv_t):
+        return _attn_reference_t(qkv_t, scale)
+    N, _, H, S, D = qkv_t.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, n_heads=H),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, 3, H, S, D), lambda b: (b, 0, 0, 0, 0))],
+        out_specs=pl.BlockSpec((1, H, S, D), lambda b: (b, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, H, S, D), qkv_t.dtype),
+        interpret=INTERPRET,
+    )(qkv_t)
+
+
+def _fused_attention_t_vjp_fwd(qkv_t, scale):
+    return _fused_attention_t_fwd_impl(qkv_t, scale), qkv_t
+
+
+def _fused_attention_t_vjp_bwd(scale, qkv_t, g):
+    if not _use_pallas_t(qkv_t):
+        _, vjp = jax.vjp(lambda a: _attn_reference_t(a, scale), qkv_t)
+        return (vjp(g)[0],)
+    N, _, H, S, D = qkv_t.shape
+    dqkv_t = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, n_heads=H),
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((1, 3, H, S, D), lambda b: (b, 0, 0, 0, 0)),
+            pl.BlockSpec((1, H, S, D), lambda b: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 3, H, S, D), lambda b: (b, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 3, H, S, D), qkv_t.dtype),
+        interpret=INTERPRET,
+    )(qkv_t, g)
+    return (dqkv_t,)
+
+
+fused_attention_t.defvjp(_fused_attention_t_vjp_fwd, _fused_attention_t_vjp_bwd)

@@ -107,10 +107,29 @@ def make_train_step(
 
     use_score = score_apply_fn is not None
 
+    def fast_dropout_key(k):
+        """Re-wrap a raw threefry key as an "rbg" typed key for dropout.
+
+        Dropout masks don't need threefry's counter math — generating them
+        with it costs real VPU time at bs128 (every mask is a full
+        activation-sized tensor of random bits). The "rbg" impl lowers to
+        the XLA RngBitGenerator (the TPU's hardware RNG path), making mask
+        generation near-free; fold_in/split on rbg keys remain
+        threefry-derived so per-layer streams stay well-separated. The
+        reference recipe's dropout (train_cifar10.py:98) needs no
+        cross-step mask reproducibility beyond seeding, which this keeps.
+        """
+        if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+            return k  # caller already chose an impl
+        return jax.random.wrap_key_data(
+            jnp.concatenate([k, k]), impl="rbg"
+        )
+
     def call_model(fn, p, t, xt, cond, drop_key):
         args = (p, t, xt) + ((cond,) if cond is not None else ())
         if train_mode:
-            return fn(*args, train=True, rngs={"dropout": drop_key})
+            return fn(*args, train=True,
+                      rngs={"dropout": fast_dropout_key(drop_key)})
         return fn(*args)
 
     def loss_fn(params, key, x0, x1, y0, y1):

@@ -392,3 +392,83 @@ def test_autoencoder_diffeq_net(key):
     p = netc.init(key, t, xi)
     h, dx = netc.apply(p, t, xi)
     assert h.shape == (2, 4, 4, 4) and dx.shape == (2, 8, 8, 3)
+
+
+def test_fused_attention_vmem_gate():
+    """The Pallas gate must bound per-cell VMEM residency, not just tile
+    alignment: H=32, S=1024, D=64 bf16 is alignment-legal but needs ~30 MB
+    per grid cell and would fail Mosaic compilation on hardware."""
+    from cfm_tpu.ops import pallas_attention as pa
+
+    old = pa.INTERPRET
+    pa.INTERPRET = True  # make backend check pass everywhere
+    try:
+        small = jax.ShapeDtypeStruct((2, 256, 3, 4, 64), jnp.bfloat16)
+        big = jax.ShapeDtypeStruct((1, 1024, 3, 32, 64), jnp.bfloat16)
+        assert pa._use_pallas(small)
+        assert not pa._use_pallas(big)
+        assert pa._vmem_bytes(big) > pa._VMEM_BUDGET_BYTES
+        # The oversized shape still computes correctly via the XLA fallback.
+        qkv = _rand_qkv(jax.random.PRNGKey(0), 1, 256, 64, 64, jnp.bfloat16)
+        assert not pa._use_pallas(qkv)
+        out = pa.fused_attention(qkv, 0.125)
+        ref = pa._attn_reference(qkv, 0.125)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32), atol=2e-2)
+    finally:
+        pa.INTERPRET = old
+
+
+def test_attention_block_equals_dense_composition(key):
+    """The einsum-projection AttentionBlock (kernel-layout qkv, VERDICT r2
+    task 6) must compute exactly the nn.Dense(3c) -> attention -> nn.Dense(c)
+    composition it replaced, with the kernels reshaped."""
+    from cfm_tpu.models.unet import AttentionBlock, GroupNorm32
+    from cfm_tpu.ops import pallas_attention as pa
+
+    n, h, w, c, heads = 2, 8, 8, 32, 4
+    hd = c // heads
+    blk = AttentionBlock(num_heads=heads, dtype=jnp.float32)
+    x = jax.random.normal(key, (n, h, w, c))
+    params = blk.init(jax.random.fold_in(key, 1), x)
+    out = blk.apply(params, x)
+
+    p = params["params"]
+    gn = GroupNorm32()
+    tokens = gn.apply({"params": p["GroupNorm32_0"]}, x).reshape(n, h * w, c)
+    wq = np.asarray(p["qkv_kernel"]).reshape(c, 3 * c)
+    bq = np.asarray(p["qkv_bias"]).reshape(3 * c)
+    qkv = tokens @ wq + bq
+    qkv5 = qkv.reshape(n, h * w, 3, heads, hd)
+    att = pa._attn_reference(jnp.asarray(qkv5), 1.0 / np.sqrt(hd))
+    wo = np.asarray(p["proj_kernel"]).reshape(heads * hd, c)
+    bo = np.asarray(p["proj_bias"])
+    ref = x + (np.asarray(att).reshape(n, h * w, heads * hd) @ wo + bo).reshape(
+        n, h, w, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    # proj is zero-initialized -> the block starts as identity.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_attention_t_matches_layouts(key, dtype):
+    """fused_attention_t == fused_attention modulo layout, fwd and grad."""
+    from cfm_tpu.ops import pallas_attention as pa
+
+    qkv = _rand_qkv(key, 2, 256, 2, 64, dtype)
+    qkv_t = qkv.transpose(0, 2, 3, 1, 4)
+    scale = 0.125
+    # bf16 tolerance: the two layouts contract the einsums in different
+    # orders, so low-bit rounding differs even for the same math.
+    tol = 1e-6 if dtype == jnp.float32 else 2e-2
+    a = pa.fused_attention(qkv, scale)                       # (N, S, H, D)
+    b = pa.fused_attention_t(qkv_t, scale)                   # (N, H, S, D)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b.transpose(0, 2, 1, 3), np.float32),
+                               atol=tol)
+    g1 = jax.grad(lambda q: jnp.sum(jnp.sin(pa.fused_attention(q, scale))))(qkv)
+    g2 = jax.grad(lambda q: jnp.sum(jnp.sin(pa.fused_attention_t(q, scale))))(qkv_t)
+    np.testing.assert_allclose(np.asarray(g1, np.float32),
+                               np.asarray(g2.transpose(0, 3, 1, 2, 4), np.float32),
+                               atol=tol * 10)

@@ -8,6 +8,8 @@ factory, EMA, and the data-parallel sharded step on the virtual 8-CPU mesh
 (the reference's ddp_sim analogue, runner/configs/trainer/ddp_sim.yaml).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -212,3 +214,69 @@ def test_without_coupling_preserves_path_math():
     # And the original matcher still couples (different stream split).
     t3, xt3, ut3 = m.sample_location_and_conditional_flow(key, x0, x1)
     assert not np.array_equal(np.asarray(xt), np.asarray(xt3))
+
+
+# ---------------------------------------------------------------------------
+# bf16 numerics guard: the framework's claim that bf16 compute + f32
+# params/GroupNorm replaces the reference's fp16 loss-scaling machinery
+# (models/unet.py:13-16 vs reference fp16_util.py:1-216) must stay measured,
+# not asserted — kernel changes cannot silently break bf16 training.
+# ---------------------------------------------------------------------------
+
+
+def _train_small_unet(dtype, n_steps, key):
+    from cfm_tpu import ConditionalFlowMatcher
+    from cfm_tpu.models import UNetModelWrapper
+    from cfm_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    model = UNetModelWrapper(
+        dim=(32, 32, 3), num_channels=16, channel_mult=(1, 2),
+        num_res_blocks=1, num_heads=2, num_head_channels=-1,
+        attention_resolutions="16", dropout=0.0, dtype=dtype,
+    )
+    params = model.init(jax.random.fold_in(key, 0),
+                        jnp.zeros((2,)), jnp.zeros((2, 32, 32, 3)))
+    matcher = ConditionalFlowMatcher(sigma=0.1)
+    opt = make_optimizer(lr=1e-3, warmup_steps=10, grad_clip=1.0)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(matcher, model.apply, opt, ema_decay=0.99))
+    kd = jax.random.fold_in(key, 1)
+    x1 = jax.random.normal(kd, (16, 32, 32, 3)) * 0.5 + 0.25  # fixed "data"
+    losses = []
+    k = jax.random.fold_in(key, 2)
+    for i in range(n_steps):
+        k, ks, kn = jax.random.split(k, 3)
+        x0 = jax.random.normal(kn, (16, 32, 32, 3))
+        state, m = step(state, ks, x0, x1)
+        losses.append(float(m["loss"]))
+    return np.asarray(losses)
+
+
+def _assert_bf16_tracks_f32(n_steps):
+    key = jax.random.PRNGKey(7)
+    l32 = _train_small_unet(jnp.float32, n_steps, key)
+    l16 = _train_small_unet(jnp.bfloat16, n_steps, key)
+    assert np.all(np.isfinite(l16)), l16
+    # Same keys, same data: trajectories must agree closely early (before
+    # rounding drift compounds) and statistically over the tail.
+    head = max(3, n_steps // 10)
+    np.testing.assert_allclose(l16[:head], l32[:head], rtol=0.05)
+    tail = n_steps // 5
+    m32, m16 = l32[-tail:].mean(), l16[-tail:].mean()
+    assert abs(m16 - m32) / m32 < 0.10, (m16, m32)
+    # Both trained: tail loss below the first step's (25 smoke steps only
+    # buy ~10%; the CFM_TPU_SLOW 200-step run shows the full descent).
+    frac = 0.95 if n_steps < 100 else 0.8
+    assert m16 < frac * l16[0] and m32 < frac * l32[0], (l16[0], m16)
+
+
+def test_bf16_matches_f32_smoke():
+    _assert_bf16_tracks_f32(25)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CFM_TPU_SLOW"),
+    reason="200-step bf16-vs-f32 trajectory agreement; set CFM_TPU_SLOW=1",
+)
+def test_bf16_matches_f32_200_steps():
+    _assert_bf16_tracks_f32(200)

@@ -87,6 +87,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--train-mode", action="store_true",
+                    help="dropout active (the recipe's real config)")
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--parse-only", default=None,
                     help="skip capture; parse this xplane.pb (or logdir)")
@@ -123,7 +125,8 @@ def main() -> None:
             opt = make_optimizer(lr=2e-4, warmup_steps=5000, grad_clip=1.0)
             state = init_train_state(params, opt)
             step = jax.jit(make_train_step(matcher, model.apply, opt,
-                                           ema_decay=0.9999))
+                                           ema_decay=0.9999,
+                                           train_mode=args.train_mode))
             k0, k1, ks = jax.random.split(key, 3)
             x0 = jax.random.normal(k0, (args.batch, 32, 32, 3))
             x1 = jax.random.normal(k1, (args.batch, 32, 32, 3))
