@@ -255,6 +255,10 @@ def port_torch_inception_weights(state_dict: Dict[str, Any], npz_path: str) -> N
     """
     out = {}
     for name, tensor in state_dict.items():
+        if name.startswith(("AuxLogits", "fc.")):
+            # Real checkpoint carries the classifier head + aux tower; the
+            # pool3 feature trunk (all FID protocols use) does not.
+            continue
         t = np.asarray(tensor)
         if name.endswith(".conv.weight"):
             key = name[: -len(".conv.weight")]

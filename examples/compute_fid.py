@@ -47,6 +47,15 @@ def main() -> None:
         help="FID preprocessing convention; legacy_tensorflow is the "
         "reference's headline protocol (compute_fid.py:95-103)",
     )
+    p.add_argument("--synthetic", action="store_true",
+                   help="dress-rehearsal mode: synthetic reference images "
+                   "(the resulting number is plumbing-only, NOT an FID)")
+    p.add_argument("--num_ref", type=int, default=0,
+                   help="cap reference images (0 = full train split, the "
+                   "published protocol)")
+    p.add_argument("--override", action="append", default=[],
+                   help="extra config key=value overrides (repeatable); "
+                   "must match the overrides the checkpoint was trained with")
     args = p.parse_args()
 
     from cfm_tpu.config import load_config
@@ -59,7 +68,7 @@ def main() -> None:
     cfg = load_config(f"cifar10_{matcher}", [
         f"trainer.ckpt_dir={args.output_dir}/checkpoints",
         f"data.data_dir={args.data_dir}",
-    ])
+    ] + list(args.override))
     cfg.name = f"cifar10_{args.model}"
     trainer = Trainer(cfg, log_dir=f"{args.output_dir}/logs")
     if trainer.ckpt.latest_step() is None:
@@ -102,12 +111,16 @@ def main() -> None:
     gen_images = np.concatenate(gen_images)
 
     try:
-        ref_images, _ = load_cifar10(args.data_dir, train=True)
+        ref_images, _ = load_cifar10(args.data_dir, train=True,
+                                     synthetic=args.synthetic)
     except FileNotFoundError:
         raise SystemExit(
             "CIFAR-10 train split not found on disk; FID reference statistics "
-            "require the real dataset"
+            "require the real dataset (or pass --synthetic for a plumbing "
+            "rehearsal)"
         )
+    if args.num_ref:
+        ref_images = ref_images[: args.num_ref]
 
     try:
         from cfm_tpu.eval.fid import inception_feature_fn

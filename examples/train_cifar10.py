@@ -45,6 +45,8 @@ def main() -> None:
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic images when CIFAR-10 is not on disk")
     p.add_argument("--no_bf16", action="store_true")
+    p.add_argument("--override", action="append", default=[],
+                   help="extra config key=value overrides (repeatable)")
     args = p.parse_args()
 
     matcher = MODEL_TO_MATCHER[args.model]
@@ -61,7 +63,7 @@ def main() -> None:
         f"trainer.ckpt_dir={args.output_dir}/checkpoints",
         f"trainer.seed={args.seed}",
         f"model.bf16={not args.no_bf16}",
-    ])
+    ] + list(args.override))
     cfg.name = f"cifar10_{args.model}"
     trainer = Trainer(cfg, log_dir=f"{args.output_dir}/logs")
     trainer.fit()

@@ -218,3 +218,27 @@ def load_flax_params(model: TorchInceptionTrunk, flax_params: dict) -> None:
                 visit(val, getattr(torch_mod, key))
 
     visit(flax_params["params"], model)
+
+
+def to_pytorch_fid_state_dict(model: TorchInceptionTrunk) -> dict:
+    """Export the mirror's weights in the EXACT key layout of the real
+    pt_inception-2015-12-05 checkpoint (torchvision-style names:
+    ``<mod>.conv.weight``, ``<mod>.bn.{weight,bias,running_mean,running_var}``
+    plus the non-trunk ``fc``/``AuxLogits`` keys the porter must ignore) —
+    so the dress-rehearsal test drives port_torch_inception_weights on the
+    same nomenclature the real asset will carry."""
+    out = {}
+    for name, tensor in model.state_dict().items():
+        for ours, theirs in (
+            ("bn_scale", "bn.weight"), ("bn_bias", "bn.bias"),
+            ("bn_mean", "bn.running_mean"), ("bn_var", "bn.running_var"),
+        ):
+            if name.endswith(ours):
+                name = name[: -len(ours)] + theirs
+                break
+        out[name] = tensor.clone()
+    # Non-trunk keys present in the real checkpoint; the porter skips them.
+    out["fc.weight"] = torch.zeros(1008, 2048)
+    out["fc.bias"] = torch.zeros(1008)
+    out["AuxLogits.conv0.conv.weight"] = torch.zeros(128, 768, 1, 1)
+    return out

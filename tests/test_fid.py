@@ -4,6 +4,9 @@ Oracle: the closed-form Frechet distance between Gaussians; the reference's
 pipeline (pytorch-fid/clean-fid) is validated against the same formula.
 """
 
+import os
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -238,3 +241,67 @@ def test_inception_trunk_parity_vs_torch_mirror():
 
     assert feats_jax.shape == feats_torch.shape == (2, 2048)
     np.testing.assert_allclose(feats_jax, feats_torch, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Dress rehearsal of the zero-decision real-FID one-shot (tools/fid_real.sh)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_fid_real_one_shot_rehearsal(tmp_path):
+    """Run tools/fid_real.sh END-TO-END with random weights in the real
+    checkpoint's nomenclature and synthetic data: .pth -> ported npz ->
+    tiny-ckpt generation -> legacy-TF preprocessing -> Inception features ->
+    FID scalar. When the real assets arrive, the identical command (minus
+    FID_REHEARSAL_ARGS) produces the number vs the reference's 3.5
+    (compute_fid.py:30-109). Asserts plumbing, not the value."""
+    import subprocess
+    import sys as _sys
+
+    import torch
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    from torch_inception_mirror import TorchInceptionTrunk, to_pytorch_fid_state_dict
+
+    torch.manual_seed(0)
+    pth = tmp_path / "pt_inception-rehearsal.pth"
+    torch.save(to_pytorch_fid_state_dict(TorchInceptionTrunk()), pth)
+
+    out_dir = tmp_path / "results"
+    tiny = [
+        "--override", "model.num_channels=32",
+        "--override", "model.channel_mult=(1,2)",
+        "--override", "model.num_res_blocks=1",
+    ]
+    env = {"PATH": "/usr/bin:/bin", "PYTHONPATH": "", "HOME": "/root",
+           "JAX_PLATFORMS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    r = subprocess.run(
+        [_sys.executable, "/root/repo/examples/train_cifar10.py",
+         "--model", "otcfm", "--synthetic", "--total_steps", "6",
+         "--batch_size", "16", "--save_step", "5",
+         "--output_dir", str(out_dir), "--no_bf16"] + tiny,
+        cwd="/tmp", timeout=420, capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+
+    rehearsal_args = " ".join(
+        ["--synthetic", "--num_gen", "16", "--num_ref", "128",
+         "--batch_size_fid", "16", "--integration_method", "euler",
+         "--integration_steps", "4", "--output_dir", str(out_dir)]
+        + tiny)
+    r = subprocess.run(
+        ["bash", "/root/repo/tools/fid_real.sh", str(pth),
+         str(tmp_path / "no_real_data"), "otcfm"],
+        cwd="/tmp", timeout=420, capture_output=True, text=True,
+        env={**env, "FID_REHEARSAL_ARGS": rehearsal_args,
+             "PYTHON": _sys.executable},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "feature network: inception[legacy_tensorflow]" in r.stdout, r.stdout[-2000:]
+    m = re.search(r"FID\[inception\[legacy_tensorflow\]\] = ([0-9.]+)", r.stdout)
+    assert m, r.stdout[-2000:]
+    assert np.isfinite(float(m.group(1)))
+    # Idempotence: the ported npz is reused on a second invocation.
+    assert (tmp_path / "pt_inception-rehearsal.ported.npz").exists()

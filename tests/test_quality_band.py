@@ -105,3 +105,16 @@ def test_w2_within_reference_band(kind):
         f"{kind}: W2={w2:.3f} above reference band "
         f"(mean {e['mean']:.3f} + 4*std {e['std']:.3f} + {MC_MARGIN})"
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("CFM_TPU_SLOW"),
+    reason="two full 20k-step runs; set CFM_TPU_SLOW=1",
+)
+def test_otcfm_beats_icfm_at_20k_steps():
+    """The flagship coupling must show its advantage at the band protocol:
+    the reference band shows otcfm 0.353 vs icfm 0.674 mean W2 at 20k steps
+    (VERDICT r2 weak-4 — at 2k steps the ordering inverts and misleads)."""
+    w2_ot = _run("otcfm", steps=20000)
+    w2_ic = _run("icfm", steps=20000)
+    assert w2_ot < w2_ic, (w2_ot, w2_ic)

@@ -1,0 +1,85 @@
+"""Re-measure the README "2-moons quality" table at the acceptance band's
+protocol (VERDICT r2 weak-4): 20k steps, batch 256, Adam 1e-3, EMA 0.999,
+euler-100 generation, exact-assignment W1/W2 on 1024-sample clouds — the
+SAME recipe tools/gen_moons_band.py scores the reference with, so the
+table and the band are directly comparable (at the old 2k-step protocol
+OT-CFM's advantage is not yet visible and the table misled).
+
+Usage: python tools/moons_table.py [--steps 20000] [--seeds 0 1 2]
+Prints a markdown table row per matcher (mean over seeds) plus the
+reference band mean for W2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MATCHERS = ("icfm", "otcfm", "sbcfm", "fm", "vpcfm")
+SIGMA = {"icfm": 0.1, "otcfm": 0.1, "sbcfm": 1.0, "fm": 0.1, "vpcfm": 0.1}
+LABEL = {
+    "icfm": "I-CFM", "otcfm": "OT-CFM", "sbcfm": "SB-CFM (sigma=1)",
+    "fm": "Target-FM (Gaussian source)", "vpcfm": "VP-CFM",
+}
+BAND = os.path.join(os.path.dirname(__file__), "..", "tests", "fixtures",
+                    "moons_w2_band.json")
+
+
+def run_one(kind: str, steps: int, seed: int):
+    from cfm_tpu.config import load_config
+    from cfm_tpu.trainer import Trainer
+
+    ckpt_dir = tempfile.mkdtemp(prefix=f"table_{kind}_")
+    cfg = load_config(f"2d_{kind}", [
+        f"trainer.ckpt_dir={ckpt_dir}",
+        "optim.lr=1e-3",
+        "optim.ema_decay=0.999",
+        f"matcher.sigma={SIGMA[kind]}",
+        f"trainer.total_steps={steps}",
+        "trainer.eval_interval=0",
+        "trainer.ckpt_interval=0",
+        "trainer.log_interval=100000",
+        "eval.ode_method=euler",
+        "eval.ode_steps=100",
+        "eval.num_eval_samples=1024",
+        f"trainer.seed={seed}",
+    ])
+    tr = Trainer(cfg)
+    tr.fit()
+    ev = tr.evaluate()
+    return float(ev["w1"]), float(ev["w2"])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0])
+    args = ap.parse_args()
+
+    band = json.load(open(BAND)) if os.path.exists(BAND) else {}
+    print(f"| matcher | W1 | W2 | reference band W2 (mean of "
+          f"{len(next(iter(band.values()))['seeds']) if band else '?'} seeds) |")
+    print("|---|---|---|---|")
+    for kind in MATCHERS:
+        w1s, w2s = [], []
+        for seed in args.seeds:
+            t0 = time.time()
+            w1, w2 = run_one(kind, args.steps, seed)
+            w1s.append(w1)
+            w2s.append(w2)
+            print(f"  # {kind} seed {seed}: W1={w1:.3f} W2={w2:.3f} "
+                  f"({time.time()-t0:.0f}s)", file=sys.stderr, flush=True)
+        bm = f"{band[kind]['mean']:.3f}" if kind in band else "-"
+        print(f"| {LABEL[kind]} | "
+              f"{sum(w1s)/len(w1s):.3f} | {sum(w2s)/len(w2s):.3f} | {bm} |",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
