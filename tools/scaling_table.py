@@ -11,7 +11,13 @@ program contains no GSPMD gather-to-one-device serialization (the round-1
 run fails if any appear).
 
 Usage: python tools/scaling_table.py [--devices 8] [--per-device-batch 16]
-Writes results to stdout as a JSON list.
+           [--fixed-work --global-batch 128] [--reps 3]
+
+--fixed-work holds the GLOBAL batch constant while devices vary (strong
+scaling) instead of the default constant per-device batch (weak scaling);
+--reps reports the median of R repetitions — both added for VERDICT r2
+weak-6 (the single-rep weak-scaling table was noisy, non-monotone
+evidence). Writes results to stdout as a JSON list.
 """
 
 from __future__ import annotations
@@ -36,7 +42,8 @@ from cfm_tpu.train import (
 )
 
 n_dev = int(sys.argv[1])
-per_dev_batch = int(sys.argv[2])
+batch = int(sys.argv[2])  # GLOBAL batch (parent already resolved the mode)
+n_reps = int(sys.argv[3])
 devices = jax.devices()[:n_dev]
 assert len(devices) == n_dev
 mesh = jax.sharding.Mesh(np.array(devices), ("data",))
@@ -49,7 +56,6 @@ state = init_train_state(params, opt)
 matcher = ExactOptimalTransportConditionalFlowMatcher(sigma=0.0)
 step = make_data_parallel_train_step(matcher, model.apply, opt, mesh)
 
-batch = per_dev_batch * n_dev
 k0, k1, ks = jax.random.split(jax.random.PRNGKey(1), 3)
 x0 = jax.random.normal(k0, (batch, 2))
 x1 = jax.random.normal(k1, (batch, 2))
@@ -62,15 +68,20 @@ warnings = stderr_buf.getvalue()
 assert "Involuntary full rematerialization" not in warnings, warnings
 
 n_steps = 50
-t0 = time.perf_counter()
-for _ in range(n_steps):
-    ks, k = jax.random.split(ks)
-    state, m = step(state, k, x0, x1)
-loss = float(m["loss"])
-dt = time.perf_counter() - t0
-assert loss == loss
+rates = []
+for _ in range(n_reps):
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        ks, k = jax.random.split(ks)
+        state, m = step(state, k, x0, x1)
+    loss = float(m["loss"])
+    dt = time.perf_counter() - t0
+    assert loss == loss
+    rates.append(n_steps / dt)
+rates.sort()
 print(json.dumps({"devices": n_dev, "global_batch": batch,
-                  "steps_per_s": round(n_steps / dt, 2)}))
+                  "steps_per_s": round(rates[len(rates) // 2], 2),
+                  "reps": n_reps}))
 """
 
 
@@ -78,6 +89,11 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--per-device-batch", type=int, default=16)
+    p.add_argument("--fixed-work", action="store_true",
+                   help="hold the GLOBAL batch constant (strong scaling)")
+    p.add_argument("--global-batch", type=int, default=128)
+    p.add_argument("--reps", type=int, default=3,
+                   help="median over this many 50-step repetitions")
     args = p.parse_args()
 
     results = []
@@ -89,8 +105,9 @@ def main() -> None:
             env.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
+        gbatch = args.global_batch if args.fixed_work else args.per_device_batch * n
         out = subprocess.run(
-            [sys.executable, "-c", _CHILD, str(n), str(args.per_device_batch)],
+            [sys.executable, "-c", _CHILD, str(n), str(gbatch), str(args.reps)],
             capture_output=True, text=True, env=env, timeout=560,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         )
