@@ -27,7 +27,8 @@ below adapt).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple, Union
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -422,6 +423,78 @@ def sdeint(
     else:
         ys = jnp.stack([x0, xT], axis=0)
     return SDESolution(ys=ys, nfe=nfe, logqp=kl if logqp_drift is not None else None)
+
+
+# --------------------------------------------------------------------------
+# Reverse-differentiable adaptive integration: the continuous adjoint
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6))
+def odeint_adjoint(
+    f: Callable[[Any, Array, Any], Any],
+    params: Any,
+    x0: Any,
+    ts: Array,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    max_steps: int = 16384,
+):
+    """Adaptive dopri5 you can train THROUGH: optimize-then-discretize.
+
+    ``lax.while_loop`` is not reverse-differentiable, so plain
+    ``odeint(..., method="dopri5")`` is eval-only. This entry point closes
+    that boundary (the reference trains through torchdyn's adjoint,
+    runner/src/models/components/solver.py:192-216) with the continuous
+    adjoint method: the VJP integrates the augmented system
+    (x, a = dL/dx, g = dL/dparams) BACKWARD with the same while_loop dopri5 —
+    da/dt = -a^T df/dx, dg/dt = -a^T df/dparams — so memory is O(state), not
+    O(NFE), and both passes are error-controlled at (rtol, atol).
+
+    ``f(params, t, x)`` is the drift (params explicit so their cotangent can
+    be accumulated); ``x0`` may be any pytree (e.g. a trace-augmented CNF
+    state). Returns the FINAL state only — for dense differentiable output
+    use the fixed-step scan solvers; for dense non-differentiable output use
+    ``odeint``. Gradients are w.r.t. ``params`` and ``x0``; the time grid is
+    treated as constant. Note the classic adjoint caveat applies: x(t) is
+    reconstructed by integrating backward, so gradients are approximate at
+    loose tolerances (checked to ~1e-3 of discretize-then-optimize at 1e-6,
+    tests/test_integrate.py::test_odeint_adjoint_matches_discretize_grads).
+    """
+    sol = _odeint_dopri5(
+        lambda t, x: f(params, t, x), x0, jnp.asarray(ts),
+        rtol, atol, max_steps, return_trajectory=False,
+    )
+    return jax.tree.map(lambda b: b[-1], sol.ys)
+
+
+def _odeint_adjoint_fwd(f, params, x0, ts, rtol, atol, max_steps):
+    out = odeint_adjoint(f, params, x0, ts, rtol, atol, max_steps)
+    return out, (params, out, jnp.asarray(ts))
+
+
+def _odeint_adjoint_bwd(f, rtol, atol, max_steps, res, g):
+    params, x_final, ts = res
+
+    def aug_dyn(t, state):
+        x, a, _ = state
+        fx, vjp = jax.vjp(lambda xx, pp: f(pp, t, xx), x, params)
+        da, dp = vjp(a)
+        return (
+            fx,
+            jax.tree.map(jnp.negative, da),
+            jax.tree.map(jnp.negative, dp),
+        )
+
+    aug0 = (x_final, g, jax.tree.map(jnp.zeros_like, params))
+    ts_back = jnp.stack([ts[-1], ts[0]])
+    sol = _odeint_dopri5(aug_dyn, aug0, ts_back, rtol, atol, max_steps,
+                         return_trajectory=False)
+    _, a0, gp = jax.tree.map(lambda b: b[-1], sol.ys)
+    return (gp, a0, jnp.zeros_like(ts))
+
+
+odeint_adjoint.defvjp(_odeint_adjoint_fwd, _odeint_adjoint_bwd)
 
 
 # --------------------------------------------------------------------------
