@@ -20,7 +20,7 @@ from . import (
     variants,
 )
 from .coupling import OTPlanSampler, wasserstein
-from .integrate import FlowSolver, odeint, sdeint
+from .integrate import FlowSolver, odeint, odeint_adjoint, sdeint
 from .paths import (
     ConditionalFlowMatcher,
     ExactOptimalTransportConditionalFlowMatcher,
@@ -42,6 +42,7 @@ __all__ = [
     "pad_t_like_x",
     "FlowSolver",
     "odeint",
+    "odeint_adjoint",
     "sdeint",
     "augment",
     "config",

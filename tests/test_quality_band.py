@@ -21,6 +21,8 @@ moves W2 toward the band.
 import json
 import os
 
+import numpy as np
+
 import pytest
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "moons_w2_band.json")
@@ -53,7 +55,7 @@ def test_band_fixture_integrity():
         assert threshold(e) < 1.55, (kind, threshold(e))
 
 
-def _run(kind: str, steps: int, seed: int = 0) -> float:
+def _run(kind: str, steps: int, seed: int = 0, ema: bool = True) -> float:
     import tempfile
 
     from cfm_tpu.config import load_config
@@ -68,7 +70,7 @@ def _run(kind: str, steps: int, seed: int = 0) -> float:
         [
             f"trainer.ckpt_dir={ckpt_dir}",
             "optim.lr=1e-3",
-            "optim.ema_decay=0.999",
+            f"optim.ema_decay={0.999 if ema else 0.0}",
             f"matcher.sigma={SIGMA[kind]}",
             f"trainer.total_steps={steps}",
             "trainer.eval_interval=0",
@@ -113,8 +115,10 @@ def test_w2_within_reference_band(kind):
 )
 def test_otcfm_beats_icfm_at_20k_steps():
     """The flagship coupling must show its advantage at the band protocol:
-    the reference band shows otcfm 0.353 vs icfm 0.674 mean W2 at 20k steps
-    (VERDICT r2 weak-4 — at 2k steps the ordering inverts and misleads)."""
-    w2_ot = _run("otcfm", steps=20000)
-    w2_ic = _run("icfm", steps=20000)
-    assert w2_ot < w2_ic, (w2_ot, w2_ic)
+    the 5-seed reference band shows otcfm 0.337+-0.060 vs icfm 0.591+-0.190
+    mean W2 at 20k steps (VERDICT r2 weak-4 — at 2k steps, or with EMA
+    generation, the gap closes into noise and the ordering can invert, so
+    this runs the band protocol exactly: raw weights, mean over 2 seeds)."""
+    ot = np.mean([_run("otcfm", steps=20000, seed=s, ema=False) for s in (0, 1)])
+    ic = np.mean([_run("icfm", steps=20000, seed=s, ema=False) for s in (0, 1)])
+    assert ot < ic, (ot, ic)

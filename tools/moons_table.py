@@ -1,9 +1,11 @@
 """Re-measure the README "2-moons quality" table at the acceptance band's
-protocol (VERDICT r2 weak-4): 20k steps, batch 256, Adam 1e-3, EMA 0.999,
-euler-100 generation, exact-assignment W1/W2 on 1024-sample clouds — the
-SAME recipe tools/gen_moons_band.py scores the reference with, so the
-table and the band are directly comparable (at the old 2k-step protocol
-OT-CFM's advantage is not yet visible and the table misled).
+protocol (VERDICT r2 weak-4): 20k steps, batch 256, Adam 1e-3,
+euler-100 generation from RAW (non-EMA) weights, exact-assignment W1/W2 on
+1024-sample clouds — the SAME recipe tools/gen_moons_band.py scores the
+reference with, so the table and the band are directly comparable (at the
+old 2k-step protocol OT-CFM's advantage is not yet visible and the table
+misled; and with EMA generation both matchers converge so far that the
+ordering is noise — EMA is the harness default but NOT the band protocol).
 
 Usage: python tools/moons_table.py [--steps 20000] [--seeds 0 1 2]
 Prints a markdown table row per matcher (mean over seeds) plus the
@@ -39,7 +41,7 @@ def run_one(kind: str, steps: int, seed: int):
     cfg = load_config(f"2d_{kind}", [
         f"trainer.ckpt_dir={ckpt_dir}",
         "optim.lr=1e-3",
-        "optim.ema_decay=0.999",
+        "optim.ema_decay=0.0",  # band oracle evaluates RAW weights (no EMA)
         f"matcher.sigma={SIGMA[kind]}",
         f"trainer.total_steps={steps}",
         "trainer.eval_interval=0",
