@@ -300,7 +300,7 @@ def pallas_auction_assignment_tiled(cost: jax.Array, num_phases: int = 12) -> ja
     eps0 = rng / 2.0
     eps_final = eps0 / (4.0 ** (num_phases - 1))
 
-    bspec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream
+    bspec = (pl.BlockSpec(memory_space=pl.ANY) if stream
              else pl.BlockSpec(memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         _make_tiled_kernel(n, tile, stream),

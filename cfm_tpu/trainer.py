@@ -227,7 +227,18 @@ class Trainer:
             save_interval=cfg.trainer.ckpt_interval,
         )
         if cfg.trainer.resume and self.ckpt.latest_step() is not None:
-            self.state = self.ckpt.restore(self.state)
+            try:
+                self.state = self.ckpt.restore(self.state)
+            except ValueError as e:
+                # Orbax raises on tree-structure mismatch — almost always a
+                # checkpoint written by an older model definition. Refuse
+                # loudly rather than training silently from scratch over it.
+                raise ValueError(
+                    f"Checkpoint under {cfg.trainer.ckpt_dir}/{cfg.name} does "
+                    "not match the current model's parameter tree (it likely "
+                    "predates a model change). Delete the stale directory or "
+                    "point trainer.ckpt_dir elsewhere to start fresh."
+                ) from e
             print(f"resumed from step {int(self.state.step)}")
 
         self._batches = self._make_batch_source()
