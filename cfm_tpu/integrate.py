@@ -137,9 +137,23 @@ def odeint(
     runner/src/models/cfm_module.py:1412-1455) work unchanged.
 
     method: "euler" | "midpoint" | "heun" | "rk4" (fixed-step: one step per
-    grid interval) or "dopri5" / "tsit5"-class adaptive (error controlled by
+    grid interval) or "dopri5" adaptive (error controlled by
     rtol/atol; grid points are evaluation points only, matching
     ``torchdiffeq.odeint`` semantics).
+
+    >>> import jax.numpy as jnp
+    >>> sol = odeint(lambda t, x: -x, jnp.ones((3,)), jnp.linspace(0.0, 1.0, 11),
+    ...              method="rk4")
+    >>> sol.ys.shape          # trajectory: one row per grid point
+    (11, 3)
+    >>> bool(jnp.allclose(sol.final, jnp.exp(-1.0), atol=1e-6))
+    True
+    >>> int(sol.nfe)          # 4 evals per rk4 step x 10 intervals
+    40
+    >>> sol5 = odeint(lambda t, x: -x, jnp.ones((3,)), jnp.array([0.0, 1.0]),
+    ...               method="dopri5", return_trajectory=False)
+    >>> bool(jnp.allclose(sol5.final, jnp.exp(-1.0), atol=1e-4))
+    True
     """
     ts = jnp.asarray(ts)
     if method in _FIXED_STEPPERS:

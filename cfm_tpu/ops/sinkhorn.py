@@ -40,6 +40,17 @@ def sinkhorn(
     runs entirely on device in float32 — hence the default stop threshold is
     1e-6, not POT's float64 1e-9, which f32 marginal-error sums cannot reach
     (the loop would always run to num_iters).
+
+    >>> import jax, jax.numpy as jnp
+    >>> key = jax.random.PRNGKey(0)
+    >>> M = jnp.sum((jax.random.normal(key, (8, 1, 2))
+    ...              - jax.random.normal(jax.random.fold_in(key, 1), (1, 8, 2))) ** 2, -1)
+    >>> a = jnp.full((8,), 1.0 / 8)
+    >>> plan = sinkhorn(a, a, M, reg=0.5)
+    >>> plan.shape
+    (8, 8)
+    >>> bool(jnp.allclose(plan.sum(axis=1), a, atol=1e-5))  # marginals honored
+    True
     """
     loga = jnp.log(a.astype(jnp.float32))
     logb = jnp.log(b.astype(jnp.float32))

@@ -76,6 +76,20 @@ class ConditionalFlowMatcher:
         """Draw (t, xt, ut[, eps]) for a training batch (ref :159-199).
 
         ``key`` drives both the t draw (if ``t`` is None) and the path noise.
+
+        >>> import jax, jax.numpy as jnp
+        >>> m = ConditionalFlowMatcher(sigma=0.1)
+        >>> key = jax.random.PRNGKey(0)
+        >>> x0, x1 = jnp.zeros((4, 2)), jnp.ones((4, 2))
+        >>> t, xt, ut = m.sample_location_and_conditional_flow(key, x0, x1)
+        >>> t.shape, xt.shape, ut.shape
+        ((4,), (4, 2), (4, 2))
+        >>> bool(jnp.allclose(ut, x1 - x0))  # I-CFM target is the straight line
+        True
+        >>> t_fixed = jnp.full((4,), 0.5)
+        >>> t2, _, _ = m.sample_location_and_conditional_flow(key, x0, x1, t=t_fixed)
+        >>> bool(jnp.all(t2 == 0.5))
+        True
         """
         t_key, eps_key = jax.random.split(key)
         if t is None:
