@@ -277,6 +277,51 @@ def make_data_parallel_train_step(
     return step
 
 
+def make_data_parallel_sample_fn(
+    apply_fn: Callable[..., Array],
+    mesh: jax.sharding.Mesh,
+    n: int,
+    x_shape: Tuple[int, ...],
+    method: str = "euler",
+    n_steps: int = 100,
+    rtol: float = 1e-5,
+    atol: float = 1e-5,
+    data_axis="data",
+) -> Callable:
+    """Batch-sharded ODE sampling over a mesh — the inference analogue of
+    ``make_data_parallel_step`` (reference role: per-rank generate_samples
+    under DDP, utils_cifar.py:42-73, and the multi-GPU half of the 50k FID
+    protocol, compute_fid.py:67-91).
+
+    Params are replicated; the source draw, the whole integration, and the
+    output are sharded on the batch axis — embarrassingly parallel, XLA
+    inserts ZERO collectives, so sampling throughput scales linearly with
+    chips by construction (validated against the single-device program
+    sample-for-sample in tests/test_train_e2e.py).
+
+    Returns ``sample(params, key) -> (n, *x_shape)`` final samples.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from .integrate import odeint, vector_field_from_model
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+    sharded = NamedSharding(mesh, PartitionSpec(data_axis))
+    ts = (jnp.array([0.0, 1.0]) if method == "dopri5"
+          else jnp.linspace(0.0, 1.0, n_steps + 1))
+
+    def sample(params, key):
+        x0 = jax.random.normal(key, (n,) + tuple(x_shape))
+        x0 = jax.lax.with_sharding_constraint(x0, sharded)
+        f = vector_field_from_model(apply_fn, params)
+        sol = odeint(f, x0, ts, method=method, rtol=rtol, atol=atol,
+                     return_trajectory=False)
+        return sol.final
+
+    return jax.jit(sample, in_shardings=(replicated, replicated),
+                   out_shardings=sharded)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> jax.sharding.Mesh:
     """1-D device mesh over all (or the first n) local devices."""
     devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]

@@ -280,3 +280,37 @@ def test_bf16_matches_f32_smoke():
 )
 def test_bf16_matches_f32_200_steps():
     _assert_bf16_tracks_f32(200)
+
+
+def test_data_parallel_sampling_matches_single_device():
+    """Batch-sharded ODE generation over the 8-device mesh equals the
+    single-device program SAMPLE-FOR-SAMPLE (partitionable threefry makes
+    the sharded source draw identical), and the compiled program contains
+    no collectives — sampling scales linearly by construction (the BASELINE
+    driver target: sampling throughput at 1 chip / 1 host / N hosts)."""
+    from cfm_tpu.models import MLP
+    from cfm_tpu.train import make_data_parallel_sample_fn, make_mesh
+
+    model = MLP(dim=2, w=32)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    params = jax.tree.map(lambda p: p + 0.05, params)  # non-trivial field
+
+    mesh8 = make_mesh()
+    mesh1 = make_mesh(1)
+    n = 64
+    fn8 = make_data_parallel_sample_fn(model.apply, mesh8, n, (2,),
+                                       method="euler", n_steps=20)
+    fn1 = make_data_parallel_sample_fn(model.apply, mesh1, n, (2,),
+                                       method="euler", n_steps=20)
+    kd = jax.random.fold_in(key, 7)
+    out8 = np.asarray(fn8(params, kd))
+    out1 = np.asarray(fn1(params, kd))
+    assert out8.shape == (n, 2)
+    np.testing.assert_allclose(out8, out1, atol=1e-6)
+
+    # No cross-device communication in the compiled SPMD program.
+    hlo = fn8.lower(params, kd).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "reduce-scatter", "all-to-all"):
+        assert coll not in hlo, coll
