@@ -137,9 +137,11 @@ def odeint(
     runner/src/models/cfm_module.py:1412-1455) work unchanged.
 
     method: "euler" | "midpoint" | "heun" | "rk4" (fixed-step: one step per
-    grid interval) or "dopri5" adaptive (error controlled by
-    rtol/atol; grid points are evaluation points only, matching
-    ``torchdiffeq.odeint`` semantics).
+    grid interval), "dopri5" adaptive (error controlled by rtol/atol; grid
+    points are evaluation points only, matching ``torchdiffeq.odeint``
+    semantics — dense output, best for trajectory rollouts), or "tsit5"
+    adaptive (Tsitouras 5(4), torchdyn's other production solver; grid
+    points are hit by step clamping — prefer for final-state integration).
 
     >>> import jax.numpy as jnp
     >>> sol = odeint(lambda t, x: -x, jnp.ones((3,)), jnp.linspace(0.0, 1.0, 11),
@@ -178,6 +180,11 @@ def odeint(
         return ODESolution(ys=ys, nfe=nfe)
     if method == "dopri5":
         return _odeint_dopri5(
+            f, x0, ts, rtol=rtol, atol=atol, max_steps=max_steps,
+            return_trajectory=return_trajectory,
+        )
+    if method == "tsit5":
+        return _odeint_tsit5(
             f, x0, ts, rtol=rtol, atol=atol, max_steps=max_steps,
             return_trajectory=return_trajectory,
         )
@@ -374,6 +381,141 @@ def _odeint_dopri5(
     )
     # Exact final state (interpolation at θ=1 equals it analytically; this
     # guards the float boundary case where the last point's mask just missed).
+    out = jax.tree.map(lambda buf, l: buf.at[-1].set(l), out, x_f)
+    if not return_trajectory:
+        out = jax.tree.map(lambda buf: buf[jnp.array([0, T - 1])], out)
+    return ODESolution(ys=out, nfe=nfe)
+
+
+# Tsitouras 5(4) tableau (Tsitouras 2011, Table 1 — torchdyn's "tsit5"
+# solver choice). FSAL 7-stage like DOPRI5; plain numpy for the same
+# import-time reason as _DP_C above.
+_TS_C = np.array([0.0, 0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0])
+_TS_A = (
+    (),
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383),
+    (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774),
+)
+_TS_B5 = (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+          -3.290069515436081, 2.324710524099774, 0.0)
+# Error weights: b(5th) - bhat(4th); err = h * sum_i btilde_i k_i.
+_TS_BT = (-0.00178001105222577714, -0.0008164344596567469,
+          0.007880878010261995, -0.1447110071732629, 0.5823571654525552,
+          -0.45808210592918697, 0.015151515151515152)
+
+
+def _ts_step_stages(f, t, dt, x, k1):
+    """One tsit5 trial step with FSAL; returns (x5, err_tree, all 7 stages)."""
+    ks = [k1]
+    for i in range(1, 7):
+        xi = x
+        for j, aij in enumerate(_TS_A[i]):
+            xi = _axpy(xi, ks[j], dt * aij)
+        ks.append(f(t + _TS_C[i] * dt, xi))
+    x5 = x
+    for i in range(7):
+        if _TS_B5[i]:
+            x5 = _axpy(x5, ks[i], dt * _TS_B5[i])
+    err = jax.tree.map(
+        lambda *kl: dt * sum(_TS_BT[i] * kl[i] for i in range(7)), *ks
+    )
+    return x5, err, ks
+
+
+def _odeint_tsit5(
+    f: VectorField,
+    x0: Array,
+    ts: Array,
+    rtol: float,
+    atol: float,
+    max_steps: int,
+    return_trajectory: bool,
+) -> ODESolution:
+    """Adaptive Tsitouras 5(4) over the whole span.
+
+    Same controller as the dopri5 path (Hairer initial step, safety 0.9,
+    err^(-1/5), torchdiffeq accepted-steps-never-shrink convention), but
+    grid points are hit by CLAMPING the step to land on them exactly — no
+    continuous extension (tsit5's free interpolant is method-specific), so
+    dense grids cost extra step restarts. Prefer dopri5 for 100-point
+    trajectory rollouts; tsit5 matches torchdyn's solver menu
+    (reference solver.py ode_solver choices / torchdyn NeuralODE) for
+    final-state/FID-style integration.
+    """
+    T = ts.shape[0]
+    t0, t1 = ts[0], ts[-1]
+
+    def rms_norm(tree):
+        leaves = [jnp.sum(jnp.square(l)) for l in jax.tree.leaves(tree)]
+        count = sum(l.size for l in jax.tree.leaves(tree))
+        return jnp.sqrt(sum(leaves) / count)
+
+    def err_ratio(err, x_new, x_old):
+        def leaf(e, a, b):
+            scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+            return e / scale
+
+        return rms_norm(jax.tree.map(leaf, err, x_new, x_old))
+
+    # Hairer initial step selection (same as the dopri5 path).
+    f0 = f(t0, x0)
+    direction = jnp.sign(t1 - t0)
+    scale_tree = jax.tree.map(lambda y: atol + rtol * jnp.abs(y), x0)
+    d0 = rms_norm(jax.tree.map(lambda y, sc: y / sc, x0, scale_tree))
+    d1 = rms_norm(jax.tree.map(lambda k, sc: k / sc, f0, scale_tree))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = _axpy(x0, f0, direction * h0)
+    f1 = f(t0 + direction * h0, y1)
+    d2 = (rms_norm(jax.tree.map(lambda a, b, sc: (a - b) / sc, f1, f0,
+                                scale_tree)) / h0)
+    h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / jnp.maximum(d1, d2)) ** 0.2)
+    dt0 = direction * jnp.minimum(jnp.minimum(100 * h0, h1), jnp.abs(t1 - t0))
+    nfe0 = jnp.asarray(2, jnp.int32)
+
+    out0 = jax.tree.map(
+        lambda l: jnp.zeros((T,) + l.shape, l.dtype).at[0].set(l), x0
+    )
+
+    def cond(state):
+        *_, steps, done = state
+        return jnp.logical_and(~done, steps < max_steps)
+
+    def body(state):
+        t, x, dt, k1, out, idx, nfe, steps, _ = state
+        t_out = ts[idx]                      # next pending output time
+        remaining = t_out - t
+        dt_c = jnp.where(jnp.abs(dt) > jnp.abs(remaining), remaining, dt)
+        x_new, err, ks = _ts_step_stages(f, t, dt_c, x, k1)
+        e = err_ratio(err, x_new, x)
+        accept = e <= 1.0
+        dfactor = jnp.where(accept, 1.0, 0.2)
+        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(e, 1e-10)) ** 0.2,
+                          dfactor, 10.0)
+        t = jnp.where(accept, t + dt_c, t)
+        x = jax.tree.map(lambda nw, od: jnp.where(accept, nw, od), x_new, x)
+        k1 = jax.tree.map(lambda nw, od: jnp.where(accept, nw, od), ks[6], k1)
+        landed = accept & (jnp.abs(t_out - t)
+                           <= 1e-10 * jnp.maximum(jnp.abs(t_out), 1.0))
+        out = jax.tree.map(
+            lambda buf, l: jnp.where(landed, buf.at[idx].set(l), buf), out, x
+        )
+        idx = jnp.where(landed, jnp.minimum(idx + 1, T - 1), idx)
+        done = landed & (idx == T - 1) & (
+            jnp.abs(t1 - t) <= 1e-10 * jnp.maximum(jnp.abs(t1), 1.0))
+        return (t, x, dt_c * factor, k1, out, idx, nfe + 6, steps + 1, done)
+
+    init = (t0, x0, dt0, f0, out0, jnp.asarray(1, jnp.int32), nfe0,
+            jnp.zeros((), jnp.int32), jnp.asarray(False))
+    _, x_f, _, _, out, _, nfe, _, _ = jax.lax.while_loop(cond, body, init)
     out = jax.tree.map(lambda buf, l: buf.at[-1].set(l), out, x_f)
     if not return_trajectory:
         out = jax.tree.map(lambda buf: buf[jnp.array([0, T - 1])], out)

@@ -321,3 +321,75 @@ def test_odeint_adjoint_under_jit_and_training_step():
     p1 = jax.tree.map(lambda a, b: a - 0.2 * b, params, g)
     l1 = loss_fn(p1)
     assert float(l1) < float(l0), (float(l0), float(l1))
+
+
+# ---------------------------------------------------------------------------
+# tsit5 (Tsitouras 5(4) — torchdyn's other production adaptive solver)
+# ---------------------------------------------------------------------------
+
+
+def test_tsit5_order_of_accuracy():
+    """One fixed-size trial step of the tsit5 tableau must converge at 5th
+    order (local error ~ h^6) and its embedded estimate at 4th (err ~ h^5) —
+    this pins the Butcher coefficients themselves, independent of the
+    controller."""
+    from cfm_tpu.integrate import _ts_step_stages
+
+    old_x64 = jax.config.read("jax_enable_x64")
+    jax.config.update("jax_enable_x64", True)  # f32 hits eps before asymptote
+    try:
+        f = lambda t, x: jnp.sin(t) * x - 0.25 * x**2
+        x0 = jnp.array([1.3], jnp.float64)
+        t0 = 0.4
+
+        def exact(h):
+            # Reference via many tiny rk4 steps.
+            sol = odeint(f, x0, jnp.linspace(t0, t0 + h, 4097), method="rk4")
+            return sol.final
+
+        errs, ests = [], []
+        for h in [0.4, 0.2, 0.1]:
+            x5, err, _ = _ts_step_stages(f, t0, h, x0, f(t0, x0))
+            errs.append(float(jnp.abs(x5 - exact(h))[0]))
+            ests.append(float(jnp.abs(err)[0]))
+        # Successive halving: 5th-order local error drops ~2^6 = 64,
+        # embedded 4th-order estimate ~2^5 = 32 (measured 79/84 and 25/30).
+        assert errs[0] / max(errs[1], 1e-15) > 40, errs
+        assert errs[1] / max(errs[2], 1e-15) > 40, errs
+        assert ests[0] / max(ests[1], 1e-15) > 16, ests
+        assert ests[1] / max(ests[2], 1e-15) > 16, ests
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
+
+
+def test_tsit5_matches_closed_forms_and_dopri5():
+    fields = [
+        (lambda t, x: -x, np.linspace(0.5, 2.0, 6).astype(np.float32),
+         lambda y0: y0 * np.exp(-3.0), 0.0, 3.0),
+        (lambda t, x: x * (1 - x), np.array([0.1, 0.4], np.float32),
+         lambda y0: 1 / (1 + (1 / y0 - 1) * np.exp(-4.0)), 0.0, 4.0),
+    ]
+    for f, y0, exact, t0, t1 in fields:
+        sol = odeint(f, jnp.asarray(y0), jnp.array([t0, t1]), method="tsit5",
+                     rtol=1e-5, atol=1e-5, return_trajectory=False)
+        np.testing.assert_allclose(np.asarray(sol.final), exact(y0),
+                                   rtol=1e-3, atol=3e-4)
+        assert (int(sol.nfe) - 2) % 6 == 0
+        sol_dp = odeint(f, jnp.asarray(y0), jnp.array([t0, t1]),
+                        method="dopri5", return_trajectory=False)
+        np.testing.assert_allclose(np.asarray(sol.final),
+                                   np.asarray(sol_dp.final), atol=5e-4)
+
+
+def test_tsit5_trajectory_grid_and_reverse():
+    """Grid points are landed on exactly (step clamping); reverse-time works."""
+    f = lambda t, x: -x
+    ts = jnp.linspace(0.0, 1.0, 5)
+    sol = odeint(f, jnp.ones((2,)), ts, method="tsit5")
+    assert sol.ys.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(sol.ys),
+                               np.exp(-np.asarray(ts))[:, None] * np.ones((5, 2)),
+                               rtol=2e-4)
+    rsol = odeint(f, jnp.ones((2,)), jnp.array([1.0, 0.0]), method="tsit5",
+                  return_trajectory=False)
+    np.testing.assert_allclose(np.asarray(rsol.final), np.e, rtol=1e-4)
