@@ -212,22 +212,54 @@ def make_action_matching_loss(energy_apply: Callable):
 
 
 def make_cnf_nll_loss(apply_fn: Callable, n_steps: int = 50, divergence: str = "exact",
-                      num_probes: int = 1):
+                      num_probes: int = 1, adaptive: bool = False,
+                      rtol: float = 1e-5, atol: float = 1e-5):
     """Negative log-likelihood loss via backward trace-augmented integration
-    (CNFLitModule, cfm_module.py:1412-1455). Differentiable through the scan.
+    (CNFLitModule, cfm_module.py:1412-1455).
+
+    ``adaptive=False`` (default): fixed-step scan, differentiable by plain
+    autodiff (discretize-then-optimize). ``adaptive=True``: error-controlled
+    dopri5 through ``integrate.odeint_adjoint`` (continuous adjoint) — the
+    reference's torchdyn-adjoint CNF training mode at adaptive tolerances
+    (solver.py:192-216), O(state) memory instead of O(n_steps).
     """
-    from .augment import cnf_log_likelihood
+    from .augment import (
+        AugmentedState,
+        cnf_log_likelihood,
+        make_augmented_field,
+        standard_normal_logprob,
+    )
 
     def loss_fn(params, key, x0, x1):
         del x0  # CNF trains on data x1 against the N(0, I) base
 
-        def f(t, x):
-            return apply_fn(params, jnp.full((x.shape[0],), t, x.dtype), x)
+        if adaptive:
+            from .integrate import odeint_adjoint
 
-        ll = cnf_log_likelihood(
-            f, x1, n_steps=n_steps, divergence=divergence, key=key,
-            num_probes=num_probes,
-        )
+            def field(p, t, state):
+                base = lambda tt, xx: apply_fn(
+                    p, jnp.full((xx.shape[0],), tt, xx.dtype), xx
+                )
+                aug = make_augmented_field(
+                    base, divergence=divergence, div_key=key,
+                    num_probes=num_probes,
+                )
+                return aug(t, state)
+
+            init = AugmentedState(
+                x=x1, logp=jnp.zeros(x1.shape[0], x1.dtype), regs={}
+            )
+            final = odeint_adjoint(field, params, init,
+                                   jnp.array([1.0, 0.0]), rtol=rtol, atol=atol)
+            ll = standard_normal_logprob(final.x) - final.logp
+        else:
+            def f(t, x):
+                return apply_fn(params, jnp.full((x.shape[0],), t, x.dtype), x)
+
+            ll = cnf_log_likelihood(
+                f, x1, n_steps=n_steps, divergence=divergence, key=key,
+                num_probes=num_probes,
+            )
         loss = -jnp.mean(ll)
         return loss, {"loss": loss, "nll_per_dim": loss / x1[0].size}
 

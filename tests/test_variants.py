@@ -231,3 +231,39 @@ def test_average_ut_weights_by_density():
     out = average_ut(jax.random.PRNGKey(0), x, x, 0.5, ut, avg_size=16)
     np.testing.assert_allclose(np.asarray(out[:8]), 1.0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out[8:]), -1.0, atol=1e-4)
+
+
+def test_cnf_nll_adaptive_adjoint_matches_fixed_step():
+    """CNF NLL at adaptive tolerances (continuous adjoint through dopri5)
+    agrees with the fixed-step scan in loss AND parameter gradients, and one
+    SGD step reduces the adaptive loss — the reference's torchdyn-adjoint
+    CNF training mode (solver.py:192-216) at error-controlled step sizes."""
+    from cfm_tpu.models import MLP
+    from cfm_tpu.variants import make_cnf_nll_loss
+
+    model = MLP(dim=2, w=32)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    params = jax.tree.map(lambda p: p + 0.03, params)
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (32, 2)) * 0.8
+
+    fixed = make_cnf_nll_loss(model.apply, n_steps=400, divergence="exact")
+    adapt = make_cnf_nll_loss(model.apply, divergence="exact", adaptive=True,
+                              rtol=1e-6, atol=1e-6)
+    kd = jax.random.fold_in(key, 2)
+    (lf, _), gf = jax.value_and_grad(lambda p: fixed(p, kd, None, x1),
+                                     has_aux=True)(params)
+    (la, _), ga = jax.value_and_grad(lambda p: adapt(p, kd, None, x1),
+                                     has_aux=True)(params)
+    # The fixed path is 400 EULER steps (O(1/400) bias ~1e-3); the adaptive
+    # path at 1e-6 is the more accurate of the two.
+    np.testing.assert_allclose(float(la), float(lf), rtol=3e-3)
+    flat_f = np.concatenate([np.ravel(l) for l in jax.tree.leaves(gf)])
+    flat_a = np.concatenate([np.ravel(l) for l in jax.tree.leaves(ga)])
+    cos = float(flat_f @ flat_a / (np.linalg.norm(flat_f) * np.linalg.norm(flat_a)))
+    assert cos > 0.999, cos
+    np.testing.assert_allclose(flat_a, flat_f, rtol=5e-2, atol=5e-3)
+
+    p1 = jax.tree.map(lambda a, b: a - 0.002 * b, params, ga)
+    la1 = float(adapt(p1, kd, None, x1)[0])
+    assert la1 < float(la), (la1, float(la))
