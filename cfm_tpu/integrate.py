@@ -444,10 +444,13 @@ def _odeint_tsit5(
     err^(-1/5), torchdiffeq accepted-steps-never-shrink convention), but
     grid points are hit by CLAMPING the step to land on them exactly — no
     continuous extension (tsit5's free interpolant is method-specific), so
-    dense grids cost extra step restarts. Prefer dopri5 for 100-point
-    trajectory rollouts; tsit5 matches torchdyn's solver menu
-    (reference solver.py ode_solver choices / torchdyn NeuralODE) for
-    final-state/FID-style integration.
+    dense grids cost extra step restarts. Measured guidance: on smooth
+    fields tsit5 needs ~10% fewer NFE than dopri5 (50 vs 56 on linear decay
+    at 1e-5), but on the bf16 CIFAR UNet at the FID protocol's 1e-5 its
+    step control settles on much smaller steps (1166 vs 182 NFE measured on
+    v5e, same final samples to ~1e-3) — keep dopri5 for bf16 neural fields
+    and trajectory rollouts; tsit5 completes torchdyn's solver menu
+    (reference solver.py ode_solver choices) for smooth/analytic problems.
     """
     T = ts.shape[0]
     t0, t1 = ts[0], ts[-1]
