@@ -209,3 +209,38 @@ def test_pad_t_like_x():
     padded = pad_t_like_x(t, x)
     assert padded.shape == (5, 1, 1, 1)
     assert pad_t_like_x(0.5, x) == 0.5
+
+
+@pytest.mark.parametrize("method", ["vp_cfm", "t_cfm", "sb_cfm", "exact_ot_cfm", "i_cfm"])
+def test_conditional_flow_identity_autodiff(method):
+    """Oracle-free consistency: for Gaussian probability paths,
+
+        u_t(x | z) = dmu_t/dt + (dsigma_t/dt / sigma_t) (x_t - mu_t)
+
+    (Lipman et al. 2023, Thm 3 — reference conditional_flow_matching.py's
+    derivation comments). Unlike test_fm's closed-form matrix, the
+    derivatives here come from jax.jvp through the matcher's OWN
+    compute_mu_t/compute_sigma_t, so any drift between a matcher's
+    mu/sigma and its compute_conditional_flow fails this test even if both
+    were changed "consistently" with a wrong paper formula in test_fm.
+    """
+    sigma = 0.3
+    fm = get_flow_matcher(method, sigma)
+    key = jax.random.PRNGKey(7)
+    x0, x1 = random_samples([2], key, batch_size=8)
+    # interior t: the sigma'/sigma term is 0/0 at the SB endpoints
+    t = jnp.linspace(0.05, 0.95, 8)
+    eps = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+
+    xt = fm.sample_xt(x0, x1, t, eps)
+    ut = fm.compute_conditional_flow(x0, x1, t, xt)
+
+    ones = jnp.ones_like(t)
+    mu_t, mu_dot = jax.jvp(lambda s: fm.compute_mu_t(x0, x1, s), (t,), (ones,))
+    sig_t, sig_dot = jax.jvp(
+        lambda s: jnp.broadcast_to(fm.compute_sigma_t(s), t.shape), (t,), (ones,)
+    )
+    expected = mu_dot + pad_t_like_x(sig_dot / sig_t, xt) * (xt - mu_t)
+    assert jnp.allclose(ut, expected, atol=1e-4), (
+        f"{method}: max err {jnp.abs(ut - expected).max()}"
+    )
