@@ -102,7 +102,9 @@ class MetricLogger:
 
     Covers the reference's logger-backend roles (runner/configs/logger/*.yaml:
     csv always; wandb attaches when the package is installed and
-    CFM_TPU_WANDB=1 — optional, zero hard dependency)."""
+    CFM_TPU_WANDB=1; tensorboard event files when CFM_TPU_TB=1 via the
+    dependency-free writer in ``cfm_tpu.tb_events`` — all optional, zero hard
+    dependency)."""
 
     def __init__(self, log_dir: str, name: str):
         os.makedirs(log_dir, exist_ok=True)
@@ -112,6 +114,11 @@ class MetricLogger:
         self._writer = None
         self._file = None
         self._wandb = None
+        self._tb = None
+        if os.environ.get("CFM_TPU_TB") == "1":
+            from .tb_events import TBEventWriter
+
+            self._tb = TBEventWriter(os.path.join(log_dir, "tensorboard", name))
         if os.environ.get("CFM_TPU_WANDB") == "1":
             try:
                 import wandb
@@ -139,12 +146,19 @@ class MetricLogger:
             f.write(json.dumps(row) + "\n")
         if self._wandb is not None:
             self._wandb.log(row, step=step)
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step":
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
 
     def close(self):
         if self._file:
             self._file.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Trainer:
