@@ -23,24 +23,60 @@ from collections import defaultdict
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
-    if "conv" in n and "convert" not in n:
-        return "convolution"
-    if n.startswith(("dot", "matmul")) or ".dot" in n:
-        return "matmul"
-    if "attention" in n or "pallas" in n or "custom-call" in n:
+    """Categorize one HLO op from its full text line.
+
+    Only the LHS (the op's own name) and the opcode token are inspected —
+    the operand list mentions the *producers* of the inputs (e.g. a fusion
+    consuming a Pallas output has "%custom-call" in its operand text), and
+    matching on the whole line misattributed ~20 ms/step of ordinary
+    fusions to custom/pallas before this fix.
+    """
+    lhs, _, rhs = name.partition(" = ")
+    lhs = lhs.lower()
+    # The result type may be a tuple with nested parens in its layouts, so
+    # find the opcode by vocabulary: " <opcode>(" follows the type. Operand
+    # references are "%name"-prefixed and never match " <opcode>(".
+    opcode = next(
+        (
+            op
+            for op in (
+                "custom-call", "rng-bit-generator", "rng", "convolution",
+                "fusion", "copy-start", "copy-done", "copy", "transpose",
+                "bitcast", "reduce-scatter", "all-reduce", "all-gather",
+                "reduce", "dot", "infeed", "outfeed",
+            )
+            if f" {op}(" in rhs
+        ),
+        "",
+    )
+
+    if opcode == "custom-call" or "pallas" in lhs or "attn" in lhs:
         return "custom/pallas"
-    if "convert" in n and ("reduce" in n or "fusion" in n):
+    if opcode in ("rng-bit-generator", "rng"):
+        return "rng"
+    if opcode == "convolution" or ("conv" in lhs and "convert" not in lhs):
+        return "convolution"
+    # conv weight grads fuse into ops whose OUTPUT is a [kh,kw,cin,cout]
+    # kernel (optionally tupled with an f32 grad-norm scalar).
+    if opcode == "fusion" and re.search(r"=\s*(?:\(f32\[\][^,]*,\s*)?(?:bf16|f32)\[3,3,", name):
+        return "conv wgrad fusion"
+    # Fusions CONSUMING a [kh,kw,cin,cout] kernel are conv fwd/dgrad ops
+    # that XLA fused with their elementwise pre/epilogues.
+    if opcode == "fusion" and re.search(r"[ (](?:bf16|f32)\[3,3,", rhs):
+        return "conv fwd/dgrad fusion"
+    if opcode in ("dot", "matmul") or lhs.startswith(("dot", "matmul")) or ".dot" in lhs:
+        return "matmul"
+    if "convert" in lhs and "reduce" in lhs:
         return "convert_reduce_fusion"
-    if "reduce" in n:
+    if "reduce" in lhs or opcode == "reduce":
         return "reduce"
-    if "fusion" in n:
+    if opcode == "fusion" or "fusion" in lhs:
         return "fusion(elementwise)"
-    if "copy" in n or "transpose" in n or "bitcast" in n:
+    if opcode in ("copy", "copy-start", "copy-done", "transpose", "bitcast") or "copy" in lhs or "transpose" in lhs:
         return "copy/transpose"
-    if "all-reduce" in n or "all-gather" in n or "collective" in n:
+    if opcode.startswith(("all-reduce", "all-gather", "reduce-scatter", "collective")):
         return "collective"
-    if "infeed" in n or "outfeed" in n or "send" in n or "recv" in n:
+    if opcode in ("infeed", "outfeed") or "send" in opcode or "recv" in opcode:
         return "host-io"
     return "other"
 
