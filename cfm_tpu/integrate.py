@@ -538,8 +538,18 @@ def sdeint(
     ts: Array,
     logqp_drift: Optional[VectorField] = None,
     return_trajectory: bool = True,
+    method: str = "euler",
 ) -> SDESolution:
-    """Euler–Maruyama integration of dx = drift dt + diffusion dW.
+    """SDE integration of dx = drift dt + diffusion dW.
+
+    ``method``: "euler" (Euler–Maruyama, the reference's default
+    ``sde_solver`` at solver.py:56) or "heun" (stochastic Heun /
+    predictor-corrector: drift and diffusion averaged between the start
+    point and an EM predictor, 2 NFE/step). For the additive sigma(t)
+    noise this framework integrates (bridge sampling, SF2M), Ito and
+    Stratonovich coincide, so "heun" is unambiguous and cuts the drift
+    discretization bias from O(dt) to O(dt^2) — measured in
+    tests/test_integrate.py::test_sdeint_heun_less_biased_than_euler.
 
     ``diffusion(t, x)`` returns the *diagonal* noise scale (any shape
     broadcastable to x) — parity with the reference's diagonal-noise SDE
@@ -550,6 +560,8 @@ def sdeint(
     0.5 ∫ ||(drift - logqp_drift) / diffusion||^2 dt as in torchsde's
     ``logqp=True`` (used by SF2M eval, cfm_module.py:946-966).
     """
+    if method not in ("euler", "heun"):
+        raise ValueError(f"Unknown SDE method: {method}")
     ts = jnp.asarray(ts)
     n_steps = ts.shape[0] - 1
     keys = jax.random.split(key, n_steps)
@@ -562,8 +574,17 @@ def sdeint(
         dw = jax.random.normal(k, x.shape, x.dtype) * sqrt_dt
         fx = drift(t0, x)
         gx = diffusion(t0, x)
-        x_new = x + fx * dt + gx * dw
-        nfe = nfe + 1
+        if method == "heun":
+            x_pred = x + fx * dt + gx * dw
+            x_new = (
+                x
+                + 0.5 * (fx + drift(t1, x_pred)) * dt
+                + 0.5 * (gx + diffusion(t1, x_pred)) * dw
+            )
+            nfe = nfe + 2
+        else:
+            x_new = x + fx * dt + gx * dw
+            nfe = nfe + 1
         if logqp_drift is not None:
             hx = logqp_drift(t0, x)
             u = (fx - hx) / jnp.maximum(jnp.abs(gx), 1e-8)
@@ -692,6 +713,7 @@ class FlowSolver:
     score: Optional[VectorField] = None
     sigma: Union[float, Callable[[Array], Array]] = 0.0
     ode_method: str = "dopri5"
+    sde_solver: str = "euler"
     rtol: float = 1e-5
     atol: float = 1e-5
 
@@ -723,6 +745,7 @@ class FlowSolver:
         else:
             drift = lambda t, x: v(t, x) + s(t, x)
         logqp_drift = (lambda t, x: jnp.zeros_like(x)) if logqp else None
+        kw.setdefault("method", self.sde_solver)
         return sdeint(
             drift, self._sigma_fn(), key, x0, ts, logqp_drift=logqp_drift, **kw
         )
