@@ -134,3 +134,24 @@ def test_cycle_population():
     np.testing.assert_allclose(
         np.asarray(X[:, 0]).mean(0), np.asarray(X[:, 2]).mean(0), atol=0.1
     )
+
+
+def test_eight_normal_sample_layout():
+    """Reference-layout generator: radius-scale centers in dims 0:2, general dim."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from cfm_tpu.data.toy import eight_normal_sample
+
+    x = eight_normal_sample(jax.random.PRNGKey(0), 8192, dim=5, scale=4.0, var=0.01)
+    assert x.shape == (8192, 5)
+    # First-two-coordinate radii concentrate near the scale.
+    r = jnp.linalg.norm(x[:, :2], axis=-1)
+    np.testing.assert_allclose(float(r.mean()), 4.0, rtol=0.02)
+    # Remaining dims are pure zero-mean noise with std sqrt(var).
+    np.testing.assert_allclose(float(x[:, 2:].std()), 0.1, rtol=0.05)
+    assert abs(float(x[:, 2:].mean())) < 0.01
+    with pytest.raises(ValueError):
+        eight_normal_sample(jax.random.PRNGKey(0), 4, dim=1)
