@@ -261,6 +261,55 @@ def _dp_step_stages(f: VectorField, t, dt, x, k1):
     return x5, err, ks
 
 
+# --- Shared adaptive-step controller (used by dopri5 AND tsit5; fix once,
+# --- both solvers get it).
+
+
+def _rms_norm(tree):
+    leaves = [jnp.sum(jnp.square(l)) for l in jax.tree.leaves(tree)]
+    count = sum(l.size for l in jax.tree.leaves(tree))
+    return jnp.sqrt(sum(leaves) / count)
+
+
+def _err_ratio(err, x_new, x_old, rtol, atol):
+    def leaf(e, a, b):
+        scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
+        return e / scale
+
+    return _rms_norm(jax.tree.map(leaf, err, x_new, x_old))
+
+
+def _hairer_initial_step(f, x0, f0, t0, t1, rtol, atol):
+    """torchdiffeq ``_select_initial_step``: one extra eval beyond f0 (2
+    startup evals total counting f0). Returns the signed initial dt."""
+    direction = jnp.sign(t1 - t0)
+    scale_tree = jax.tree.map(lambda y: atol + rtol * jnp.abs(y), x0)
+    d0 = _rms_norm(jax.tree.map(lambda y, s: y / s, x0, scale_tree))
+    d1 = _rms_norm(jax.tree.map(lambda k, s: k / s, f0, scale_tree))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = _axpy(x0, f0, direction * h0)
+    f1 = f(t0 + direction * h0, y1)
+    d2 = (
+        _rms_norm(jax.tree.map(lambda a, b, s: (a - b) / s, f1, f0, scale_tree))
+        / h0
+    )
+    h1 = jnp.where(
+        (d1 <= 1e-15) & (d2 <= 1e-15),
+        jnp.maximum(1e-6, h0 * 1e-3),
+        (0.01 / jnp.maximum(d1, d2)) ** 0.2,
+    )
+    return direction * jnp.minimum(jnp.minimum(100 * h0, h1), jnp.abs(t1 - t0))
+
+
+def _pi_factor(e, accept):
+    """Step-size factor: safety 0.9, err^(-1/5), clamp [dfactor, 10], with
+    the torchdiffeq convention that an ACCEPTED step never shrinks the next
+    trial (decrease clamp lifted to 1) — verified NFE-for-NFE against the
+    independent torch oracle, tests/helpers/torch_dopri5.py."""
+    dfactor = jnp.where(accept, 1.0, 0.2)
+    return jnp.clip(0.9 * (1.0 / jnp.maximum(e, 1e-10)) ** 0.2, dfactor, 10.0)
+
+
 def _odeint_dopri5(
     f: VectorField,
     x0: Array,
@@ -287,37 +336,8 @@ def _odeint_dopri5(
     T = ts.shape[0]
     t0, t1 = ts[0], ts[-1]
 
-    def rms_norm(tree):
-        leaves = [jnp.sum(jnp.square(l)) for l in jax.tree.leaves(tree)]
-        count = sum(l.size for l in jax.tree.leaves(tree))
-        return jnp.sqrt(sum(leaves) / count)
-
-    def err_ratio(err, x_new, x_old):
-        def leaf(e, a, b):
-            scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
-            return e / scale
-
-        return rms_norm(jax.tree.map(leaf, err, x_new, x_old))
-
-    # --- Hairer initial step selection (torchdiffeq _select_initial_step).
     f0 = f(t0, x0)
-    direction = jnp.sign(t1 - t0)
-    scale_tree = jax.tree.map(lambda y: atol + rtol * jnp.abs(y), x0)
-    d0 = rms_norm(jax.tree.map(lambda y, s: y / s, x0, scale_tree))
-    d1 = rms_norm(jax.tree.map(lambda k, s: k / s, f0, scale_tree))
-    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
-    y1 = _axpy(x0, f0, direction * h0)
-    f1 = f(t0 + direction * h0, y1)
-    d2 = (
-        rms_norm(jax.tree.map(lambda a, b, s: (a - b) / s, f1, f0, scale_tree))
-        / h0
-    )
-    h1 = jnp.where(
-        (d1 <= 1e-15) & (d2 <= 1e-15),
-        jnp.maximum(1e-6, h0 * 1e-3),
-        (0.01 / jnp.maximum(d1, d2)) ** 0.2,
-    )
-    dt0 = direction * jnp.minimum(jnp.minimum(100 * h0, h1), jnp.abs(t1 - t0))
+    dt0 = _hairer_initial_step(f, x0, f0, t0, t1, rtol, atol)
     nfe0 = jnp.asarray(2, jnp.int32)
 
     # --- Output buffer: (T, *state) per leaf, x0 written at index 0.
@@ -353,15 +373,9 @@ def _odeint_dopri5(
         remaining = t1 - t
         dt = jnp.where(jnp.abs(dt) > jnp.abs(remaining), remaining, dt)
         x_new, err, ks = _dp_step_stages(f, t, dt, x, k1)
-        e = err_ratio(err, x_new, x)
+        e = _err_ratio(err, x_new, x, rtol, atol)
         accept = e <= 1.0
-        # Decrease clamp is lifted to 1 on accepted steps (torchdiffeq
-        # convention: an accepted step never shrinks the next trial) —
-        # verified NFE-for-NFE against the independent torch oracle,
-        # tests/helpers/torch_dopri5.py.
-        dfactor = jnp.where(accept, 1.0, 0.2)
-        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(e, 1e-10)) ** 0.2, dfactor, 10.0)
-        dt_next = dt * factor
+        dt_next = dt * _pi_factor(e, accept)
         out_new = interp_writes(out, t, dt, x, x_new, ks)
         out = jax.tree.map(
             lambda new, old: jnp.where(accept, new, old), out_new, out
@@ -454,34 +468,10 @@ def _odeint_tsit5(
     """
     T = ts.shape[0]
     t0, t1 = ts[0], ts[-1]
-
-    def rms_norm(tree):
-        leaves = [jnp.sum(jnp.square(l)) for l in jax.tree.leaves(tree)]
-        count = sum(l.size for l in jax.tree.leaves(tree))
-        return jnp.sqrt(sum(leaves) / count)
-
-    def err_ratio(err, x_new, x_old):
-        def leaf(e, a, b):
-            scale = atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b))
-            return e / scale
-
-        return rms_norm(jax.tree.map(leaf, err, x_new, x_old))
-
-    # Hairer initial step selection (same as the dopri5 path).
-    f0 = f(t0, x0)
     direction = jnp.sign(t1 - t0)
-    scale_tree = jax.tree.map(lambda y: atol + rtol * jnp.abs(y), x0)
-    d0 = rms_norm(jax.tree.map(lambda y, sc: y / sc, x0, scale_tree))
-    d1 = rms_norm(jax.tree.map(lambda k, sc: k / sc, f0, scale_tree))
-    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
-    y1 = _axpy(x0, f0, direction * h0)
-    f1 = f(t0 + direction * h0, y1)
-    d2 = (rms_norm(jax.tree.map(lambda a, b, sc: (a - b) / sc, f1, f0,
-                                scale_tree)) / h0)
-    h1 = jnp.where((d1 <= 1e-15) & (d2 <= 1e-15),
-                   jnp.maximum(1e-6, h0 * 1e-3),
-                   (0.01 / jnp.maximum(d1, d2)) ** 0.2)
-    dt0 = direction * jnp.minimum(jnp.minimum(100 * h0, h1), jnp.abs(t1 - t0))
+
+    f0 = f(t0, x0)
+    dt0 = _hairer_initial_step(f, x0, f0, t0, t1, rtol, atol)
     nfe0 = jnp.asarray(2, jnp.int32)
 
     out0 = jax.tree.map(
@@ -498,11 +488,9 @@ def _odeint_tsit5(
         remaining = t_out - t
         dt_c = jnp.where(jnp.abs(dt) > jnp.abs(remaining), remaining, dt)
         x_new, err, ks = _ts_step_stages(f, t, dt_c, x, k1)
-        e = err_ratio(err, x_new, x)
+        e = _err_ratio(err, x_new, x, rtol, atol)
         accept = e <= 1.0
-        dfactor = jnp.where(accept, 1.0, 0.2)
-        factor = jnp.clip(0.9 * (1.0 / jnp.maximum(e, 1e-10)) ** 0.2,
-                          dfactor, 10.0)
+        factor = _pi_factor(e, accept)
         t = jnp.where(accept, t + dt_c, t)
         x = jax.tree.map(lambda nw, od: jnp.where(accept, nw, od), x_new, x)
         k1 = jax.tree.map(lambda nw, od: jnp.where(accept, nw, od), ks[6], k1)
@@ -514,7 +502,18 @@ def _odeint_tsit5(
         idx = jnp.where(landed, jnp.minimum(idx + 1, T - 1), idx)
         done = landed & (idx == T - 1) & (
             jnp.abs(t1 - t) <= 1e-10 * jnp.maximum(jnp.abs(t1), 1.0))
-        return (t, x, dt_c * factor, k1, out, idx, nfe + 6, steps + 1, done)
+        # Next trial step. On an ACCEPTED step the controller must not lose
+        # its step size to grid clamping: a landing clamped to dt_c << dt
+        # (or exactly 0 on duplicate grid entries) has tiny error, and
+        # dt_c * factor would propose a poisoned-small (or permanently zero)
+        # next step — the controller keeps max(|dt|, |dt_c * factor|). On a
+        # REJECTED step dt_c is what actually failed, so shrink from it.
+        dt_next = jnp.where(
+            accept,
+            direction * jnp.maximum(jnp.abs(dt), jnp.abs(dt_c * factor)),
+            dt_c * factor,
+        )
+        return (t, x, dt_next, k1, out, idx, nfe + 6, steps + 1, done)
 
     init = (t0, x0, dt0, f0, out0, jnp.asarray(1, jnp.int32), nfe0,
             jnp.zeros((), jnp.int32), jnp.asarray(False))

@@ -128,22 +128,26 @@ def fused_attention(qkv: jax.Array, scale: float) -> jax.Array:
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
-def _vmem_bytes(qkv) -> int:
+def _vmem_bytes(H: int, S: int, D: int, itemsize: int) -> int:
     """Worst-case (backward) per-cell residency: qkv in + dqkv out + do
     (7*H*S*D in the model dtype), plus the f32 (S, S) logits/softmax/dp
     working set (~3 simultaneously live) and f32 q/k/v/do head copies."""
-    N, S, _, H, D = qkv.shape
-    itemsize = qkv.dtype.itemsize
     return itemsize * 7 * H * S * D + 4 * (3 * S * S + 4 * S * D)
+
+
+def _gate(H: int, S: int, D: int, dtype) -> bool:
+    """Shared Pallas-vs-XLA routing for BOTH qkv layouts: tile alignment,
+    VMEM footprint, and backend."""
+    aligned = S % 128 == 0 and D % 64 == 0
+    fits = _vmem_bytes(H, S, D, dtype.itemsize) <= _VMEM_BUDGET_BYTES
+    return aligned and fits and (
+        INTERPRET or jax.default_backend() in ("tpu", "axon")
+    )
 
 
 def _use_pallas(qkv) -> bool:
     N, S, three, H, D = qkv.shape
-    aligned = S % 128 == 0 and D % 64 == 0
-    fits = _vmem_bytes(qkv) <= _VMEM_BUDGET_BYTES
-    return aligned and fits and (
-        INTERPRET or jax.default_backend() in ("tpu", "axon")
-    )
+    return _gate(H, S, D, qkv.dtype)
 
 
 def _fused_attention_fwd_impl(qkv, scale):
@@ -214,13 +218,7 @@ def _attn_reference_t(qkv_t: jax.Array, scale: float) -> jax.Array:
 
 def _use_pallas_t(qkv_t) -> bool:
     N, three, H, S, D = qkv_t.shape
-    aligned = S % 128 == 0 and D % 64 == 0
-    itemsize = qkv_t.dtype.itemsize
-    fits = (itemsize * 7 * H * S * D + 4 * (3 * S * S + 4 * S * D)
-            <= _VMEM_BUDGET_BYTES)
-    return aligned and fits and (
-        INTERPRET or jax.default_backend() in ("tpu", "axon")
-    )
+    return _gate(H, S, D, qkv_t.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))

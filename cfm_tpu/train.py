@@ -307,7 +307,9 @@ def make_data_parallel_sample_fn(
 
     replicated = NamedSharding(mesh, PartitionSpec())
     sharded = NamedSharding(mesh, PartitionSpec(data_axis))
-    ts = (jnp.array([0.0, 1.0]) if method == "dopri5"
+    # Adaptive methods get the 2-point span (they pick their own steps; a
+    # dense grid would force a step-clamp restart at every point for tsit5).
+    ts = (jnp.array([0.0, 1.0]) if method in ("dopri5", "tsit5")
           else jnp.linspace(0.0, 1.0, n_steps + 1))
 
     def sample(params, key):

@@ -365,6 +365,15 @@ class Trainer:
         cfg = self.cfg
         total = cfg.trainer.total_steps if max_steps is None else max_steps
         start = int(self.state.step)
+        if cfg.trainer.early_stop_metric and (
+            self.is_image or not cfg.trainer.eval_interval
+        ):
+            # The early-stop check lives in the vector eval loop; reject the
+            # config upfront instead of silently never checking it.
+            raise ValueError(
+                "early_stop_metric requires eval_interval > 0 and a vector "
+                "datamodule (image runs have no in-loop eval metrics)"
+            )
         if not hasattr(self, "_fused"):
             self._fused = self._make_fused_step()
         fused = self._fused
@@ -443,7 +452,15 @@ class Trainer:
                     # patience/min_delta, mode=min on an eval metric).
                     es = cfg.trainer.early_stop_metric
                     if es:
-                        cur = float(ev[es])
+                        # Accept the logged "eval/"-prefixed spelling too, and
+                        # fail with the valid names instead of a bare KeyError.
+                        es_key = es[5:] if es.startswith("eval/") else es
+                        if es_key not in ev:
+                            raise ValueError(
+                                f"early_stop_metric {es!r} is not an eval "
+                                f"metric; available: {sorted(ev)}"
+                            )
+                        cur = float(ev[es_key])
                         if cur < es_best - cfg.trainer.early_stop_min_delta:
                             es_best, es_bad = cur, 0
                         else:

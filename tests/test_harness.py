@@ -352,3 +352,40 @@ def test_early_stopping_halts_training(tmp_path):
     assert int(state.step) == 15, int(state.step)
     log = open(os.path.join(trainer.logger.log_dir, "exec_time.log")).read()
     assert " 15 steps in " in log, log
+
+
+def test_early_stopping_config_validation(tmp_path):
+    """early_stop_metric must fail fast when it can never be checked (image
+    runs / eval disabled) or names a non-existent eval metric — not silently
+    no-op or KeyError mid-run."""
+    import pytest
+
+    cfg = _fast_cfg(tmp_path, extra=(
+        "trainer.total_steps=10",
+        "trainer.eval_interval=0",
+        "trainer.early_stop_metric=w2",
+    ))
+    with pytest.raises(ValueError, match="eval_interval"):
+        Trainer(cfg, log_dir=str(tmp_path / "logs")).fit()
+
+    cfg = _fast_cfg(tmp_path, extra=(
+        "trainer.total_steps=10",
+        "trainer.eval_interval=5",
+        "trainer.early_stop_metric=not_a_metric",
+    ))
+    with pytest.raises(ValueError, match="available"):
+        Trainer(cfg, log_dir=str(tmp_path / "logs2")).fit()
+
+
+def test_early_stopping_accepts_logged_metric_spelling(tmp_path):
+    """'eval/w2' (the name the user sees in the CSV) works like 'w2'."""
+    cfg = _fast_cfg(tmp_path, extra=(
+        "trainer.total_steps=60",
+        "trainer.eval_interval=5",
+        "trainer.early_stop_metric=eval/w2",
+        "trainer.early_stop_patience=2",
+        "trainer.early_stop_min_delta=1e9",
+    ))
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    state = trainer.fit()
+    assert int(state.step) == 15, int(state.step)

@@ -448,3 +448,18 @@ def test_flow_solver_sde_solver_field():
     out = solver.sdeint(jax.random.PRNGKey(1), jnp.ones((2, 2)),
                         jnp.linspace(0.0, 1.0, 6))
     assert int(out.nfe) == 10  # 5 steps x 2 evals: the heun default applied
+
+
+def test_tsit5_duplicate_grid_entries_do_not_poison_step_size():
+    """A grid-clamped landing of length zero (duplicate ts entries) must not
+    zero the controller's next step: the pre-fix behavior spun the while_loop
+    to max_steps and silently returned stale values past the duplicate."""
+    f = lambda t, x: -x
+    ts = jnp.array([0.0, 0.5, 0.5, 1.0])
+    sol = odeint(f, jnp.ones((2,)), ts, method="tsit5")
+    np.testing.assert_allclose(
+        np.asarray(sol.ys),
+        np.exp(-np.asarray(ts))[:, None] * np.ones((4, 2)),
+        rtol=2e-4,
+    )
+    assert int(sol.nfe) < 300, int(sol.nfe)  # pre-fix: 2 + 6*max_steps

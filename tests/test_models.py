@@ -407,7 +407,7 @@ def test_fused_attention_vmem_gate():
         big = jax.ShapeDtypeStruct((1, 1024, 3, 32, 64), jnp.bfloat16)
         assert pa._use_pallas(small)
         assert not pa._use_pallas(big)
-        assert pa._vmem_bytes(big) > pa._VMEM_BUDGET_BYTES
+        assert pa._vmem_bytes(32, 1024, 64, 2) > pa._VMEM_BUDGET_BYTES
         # The oversized shape still computes correctly via the XLA fallback.
         qkv = _rand_qkv(jax.random.PRNGKey(0), 1, 256, 64, 64, jnp.bfloat16)
         assert not pa._use_pallas(qkv)

@@ -75,3 +75,11 @@ def test_convert_reduce_fusion_without_kernel_operand():
         "fusion(bf16[128,128]{1,0:T(8,128)} %y)"
     )
     assert categorize(line) == "convert_reduce_fusion"
+
+
+def test_one_by_one_conv_kernels_bucketed():
+    """The UNet's 1x1 skip-projection convs must land in the conv buckets."""
+    wgrad = "%fusion.7 = (f32[]{:T(128)}, bf16[1,1,128,256]{3,2,1,0}) fusion(bf16[128,32,32,128]{} %x)"
+    assert categorize(wgrad) == "conv wgrad fusion"
+    dgrad = "%fusion.8 = bf16[128,32,32,128]{} fusion(bf16[1,1,128,256]{3,2,1,0} %w)"
+    assert categorize(dgrad) == "conv fwd/dgrad fusion"

@@ -57,12 +57,15 @@ def categorize(name: str) -> str:
     if opcode == "convolution" or ("conv" in lhs and "convert" not in lhs):
         return "convolution"
     # conv weight grads fuse into ops whose OUTPUT is a [kh,kw,cin,cout]
-    # kernel (optionally tupled with an f32 grad-norm scalar).
-    if opcode == "fusion" and re.search(r"=\s*(?:\(f32\[\][^,]*,\s*)?(?:bf16|f32)\[3,3,", name):
+    # kernel (optionally tupled with an f32 grad-norm scalar). Small odd
+    # square spatial dims identify a kernel shape (1x1 skip projections,
+    # 3x3 body convs, ...); activations are [N,H,W,C] with H=W>=8.
+    _KERNEL = r"(?:bf16|f32)\[(?:1,1|3,3|5,5|7,7),"
+    if opcode == "fusion" and re.search(r"=\s*(?:\(f32\[\][^,]*,\s*)?" + _KERNEL, name):
         return "conv wgrad fusion"
     # Fusions CONSUMING a [kh,kw,cin,cout] kernel are conv fwd/dgrad ops
     # that XLA fused with their elementwise pre/epilogues.
-    if opcode == "fusion" and re.search(r"[ (](?:bf16|f32)\[3,3,", rhs):
+    if opcode == "fusion" and re.search(r"[ (]" + _KERNEL, rhs):
         return "conv fwd/dgrad fusion"
     if opcode in ("dot", "matmul") or lhs.startswith(("dot", "matmul")) or ".dot" in lhs:
         return "matmul"
