@@ -255,6 +255,22 @@ class Trainer:
                 ) from e
             print(f"resumed from step {int(self.state.step)}")
 
+        # Model summary (reference ModelSummary callback + the params rows of
+        # log_hyperparameters, runner/src/utils/utils.py:149-155): param
+        # count printed at startup and persisted next to the metrics.
+        self.n_params = sum(
+            int(np.prod(l.shape)) for l in jax.tree.leaves(self.state.params)
+        )
+        print(f"model: {cfg.model.kind}  params: {self.n_params:,}")
+        with open(os.path.join(self.logger.log_dir, f"{cfg.name}_hparams.json"), "w") as f:
+            import dataclasses as _dc
+            import json as _json
+
+            _json.dump(
+                {"model/params/total": self.n_params, "config": _dc.asdict(cfg)},
+                f, indent=1, default=str,
+            )
+
         self._batches = self._make_batch_source()
 
     # -- data -------------------------------------------------------------

@@ -389,3 +389,17 @@ def test_early_stopping_accepts_logged_metric_spelling(tmp_path):
     trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
     state = trainer.fit()
     assert int(state.step) == 15, int(state.step)
+
+
+def test_model_summary_logged(tmp_path):
+    """Param count printed + persisted (reference ModelSummary callback and
+    log_hyperparameters 'model/params/*', runner/src/utils/utils.py:149-155)."""
+    import json
+
+    cfg = _fast_cfg(tmp_path, extra=("trainer.total_steps=1",))
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    assert trainer.n_params > 1000
+    hp = json.load(open(os.path.join(trainer.logger.log_dir,
+                                     f"{cfg.name}_hparams.json")))
+    assert hp["model/params/total"] == trainer.n_params
+    assert hp["config"]["data"]["batch_size"] == cfg.data.batch_size
