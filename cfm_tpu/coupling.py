@@ -137,6 +137,13 @@ class OTPlanSampler:
         # Degenerate-plan fallback mirrors the reference (:88-97), jit-safe.
         total = jnp.sum(plan)
         bad = jnp.logical_or(jnp.abs(total) < 1e-8, ~jnp.all(jnp.isfinite(plan)))
+        if self.warn and not isinstance(bad, jax.core.Tracer) and bool(bad):
+            # Eager path only — traced values cannot be inspected; under jit
+            # the fallback stays silent (document over crash).
+            warnings.warn(
+                "Degenerate OT plan (zero mass or non-finite); falling back "
+                "to the uniform coupling — check reg/batch contents."
+            )
         uniform = jnp.full_like(plan, 1.0 / (n * m))
         return jnp.where(bad, uniform, plan)
 
@@ -235,15 +242,9 @@ class OTPlanSampler:
             return False
         if self.flash is not None:
             return self.flash  # explicit user choice (XLA-twin solve off-TPU)
-        from .ops.flash_sinkhorn import flash_kernel_supported
-
         n, m = x0.shape[0], x1.shape[0]
         d = int(math.prod(x0.shape[1:])) if x0.ndim > 1 else 1
-        # Auto-route only when the Pallas kernel actually runs (right backend,
-        # aligned tiles, point clouds within the VMEM budget — flattened
-        # image batches fail that and would OOM); the XLA twin would bring
-        # no benefit over get_map.
-        return flash_kernel_supported(n, m, d) and n * m >= 2048 * 2048
+        return _flash_route(n, m, d)
 
     def sample_plan_exact_order(
         self, x0: jax.Array, x1: jax.Array
@@ -302,6 +303,21 @@ class OTPlanSampler:
         return jnp.stack(frames, axis=1)
 
 
+def _flash_route(n: int, m: int, d: int) -> bool:
+    """ONE auto-routing predicate for the flash-sinkhorn fast path, shared by
+    ``OTPlanSampler._use_flash`` and ``wasserstein`` so the threshold and the
+    kernel-support gate cannot silently diverge between the two consumers.
+
+    Routes only when the Pallas kernel actually runs (right backend, aligned
+    tiles, point clouds within the VMEM budget — flattened image batches fail
+    that and would OOM) and the plan is big enough (2048² entries) for the
+    IO-aware kernel to beat the dense path.
+    """
+    from .ops.flash_sinkhorn import flash_kernel_supported
+
+    return flash_kernel_supported(n, m, d) and n * m >= 2048 * 2048
+
+
 def wasserstein(
     x0: jax.Array,
     x1: jax.Array,
@@ -323,18 +339,25 @@ def wasserstein(
     n, m = x0.shape[0], x1.shape[0]
     # Large sinkhorn W2: flash path — potentials + chunked <pi, C>, no (n, m)
     # cost/plan in memory (squared-Euclid only, so power == 2).
-    from .ops.flash_sinkhorn import flash_kernel_supported
-
     _d = int(math.prod(x0.shape[1:])) if x0.ndim > 1 else 1
-    if (method == "sinkhorn" and power == 2 and n * m >= 2048 * 2048
-            and flash_kernel_supported(n, m, _d)):
+    if method == "sinkhorn" and power == 2 and _flash_route(n, m, _d):
         from .ops.flash_sinkhorn import (
+            row_marginal_error_from_potentials,
             sinkhorn_from_points,
             transport_cost_from_potentials,
         )
 
         f, g = sinkhorn_from_points(x0, x1, reg, num_iters=num_iters)
-        return jnp.sqrt(transport_cost_from_potentials(x0, x1, f, g, reg))
+        # Degenerate-solve guard (same convergence proxy sample_plan uses):
+        # a metric must be loudly NaN rather than silently garbage when the
+        # solve underflows or fails to converge.
+        err = row_marginal_error_from_potentials(x0, x1, f, g, reg)
+        ok = jnp.logical_and(
+            jnp.logical_and(jnp.all(jnp.isfinite(f)), jnp.all(jnp.isfinite(g))),
+            err < 0.5,
+        )
+        cost = transport_cost_from_potentials(x0, x1, f, g, reg)
+        return jnp.sqrt(jnp.where(ok, cost, jnp.nan))
     M = sq_euclidean_cost(x0, x1)
     if power == 1:
         M = jnp.sqrt(M + 1e-30)

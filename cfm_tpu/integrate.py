@@ -222,30 +222,14 @@ _DP_B4 = np.array(
 )
 
 
-def _dp_step(f: VectorField, t, dt, x, k7_prev):
-    """One dopri5 trial step with FSAL (first-same-as-last) reuse.
+def _dp_step_stages(f: VectorField, t, dt, x, k1):
+    """One dopri5 trial step with FSAL (first-same-as-last) reuse; returns
+    (x5, err, all 7 stages).
 
     Pytree-aware: x may be any pytree (e.g. AugmentedState), enabling
     adaptive integration of trace-augmented CNF states (the reference's
     torchdyn dopri5 + augmentation eval path, solver.py:184-216).
     """
-    ks = [k7_prev]  # k1 = previous step's k7
-    for i in range(1, 7):
-        xi = x
-        for j, aij in enumerate(_DP_A[i]):
-            xi = _axpy(xi, ks[j], dt * aij)
-        ks.append(f(t + _DP_C[i] * dt, xi))
-    x5 = x
-    x4 = x
-    for i in range(7):
-        x5 = _axpy(x5, ks[i], dt * _DP_B5[i])
-        x4 = _axpy(x4, ks[i], dt * _DP_B4[i])
-    err = jax.tree.map(lambda a, b: a - b, x5, x4)
-    return x5, err, ks[6], 6  # 6 new evals per step (FSAL)
-
-
-def _dp_step_stages(f: VectorField, t, dt, x, k1):
-    """One dopri5 trial step with FSAL; returns (x5, err, all 7 stages)."""
     ks = [k1]
     for i in range(1, 7):
         xi = x
@@ -293,6 +277,10 @@ def _hairer_initial_step(f, x0, f0, t0, t1, rtol, atol):
         _rms_norm(jax.tree.map(lambda a, b, s: (a - b) / s, f1, f0, scale_tree))
         / h0
     )
+    # Exponent 0.2 = 1/(q+1) with q = 4 the ERROR-ESTIMATOR order of a 5(4)
+    # pair (Hairer II.4; scipy RK45 uses error_estimator_order here and
+    # torchdiffeq passes order-1 to _select_initial_step) — NOT 1/(p+1) of
+    # the advancing order p=5.
     h1 = jnp.where(
         (d1 <= 1e-15) & (d2 <= 1e-15),
         jnp.maximum(1e-6, h0 * 1e-3),
@@ -341,8 +329,12 @@ def _odeint_dopri5(
     nfe0 = jnp.asarray(2, jnp.int32)
 
     # --- Output buffer: (T, *state) per leaf, x0 written at index 0.
+    # NaN-initialized so max_steps exhaustion is LOUD: torchdiffeq raises on
+    # underflow/step-limit; under jit we cannot raise, so unreached grid
+    # points stay NaN and propagate to any downstream metric instead of
+    # silently reading as zeros.
     out0 = jax.tree.map(
-        lambda l: jnp.zeros((T,) + l.shape, l.dtype).at[0].set(l), x0
+        lambda l: jnp.full((T,) + l.shape, jnp.nan, l.dtype).at[0].set(l), x0
     )
 
     def interp_writes(out, t_prev, dt, x_prev, x_new, ks):
@@ -388,14 +380,20 @@ def _odeint_dopri5(
         done = jnp.abs(t1 - t) <= 1e-10 * jnp.maximum(jnp.abs(t1), 1.0)
         return (t, x, dt_next, k1, out, nfe + 6, steps + 1, done)
 
-    _, x_f, _, _, out, nfe, _, _ = jax.lax.while_loop(
+    _, x_f, _, _, out, nfe, _, done = jax.lax.while_loop(
         cond,
         body,
         (t0, x0, dt0, f0, out0, nfe0, jnp.zeros((), jnp.int32), jnp.asarray(False)),
     )
     # Exact final state (interpolation at θ=1 equals it analytically; this
     # guards the float boundary case where the last point's mask just missed).
-    out = jax.tree.map(lambda buf, l: buf.at[-1].set(l), out, x_f)
+    # Only when the integration actually REACHED t1 — a max_steps bailout
+    # keeps the NaN so the failure cannot masquerade as a final sample.
+    out = jax.tree.map(
+        lambda buf, l: buf.at[-1].set(jnp.where(done, l, jnp.nan).astype(buf.dtype)),
+        out,
+        x_f,
+    )
     if not return_trajectory:
         out = jax.tree.map(lambda buf: buf[jnp.array([0, T - 1])], out)
     return ODESolution(ys=out, nfe=nfe)
@@ -474,8 +472,9 @@ def _odeint_tsit5(
     dt0 = _hairer_initial_step(f, x0, f0, t0, t1, rtol, atol)
     nfe0 = jnp.asarray(2, jnp.int32)
 
+    # NaN-initialized for the same loud-failure semantics as the dopri5 path.
     out0 = jax.tree.map(
-        lambda l: jnp.zeros((T,) + l.shape, l.dtype).at[0].set(l), x0
+        lambda l: jnp.full((T,) + l.shape, jnp.nan, l.dtype).at[0].set(l), x0
     )
 
     def cond(state):
@@ -517,8 +516,12 @@ def _odeint_tsit5(
 
     init = (t0, x0, dt0, f0, out0, jnp.asarray(1, jnp.int32), nfe0,
             jnp.zeros((), jnp.int32), jnp.asarray(False))
-    _, x_f, _, _, out, _, nfe, _, _ = jax.lax.while_loop(cond, body, init)
-    out = jax.tree.map(lambda buf, l: buf.at[-1].set(l), out, x_f)
+    _, x_f, _, _, out, _, nfe, _, done = jax.lax.while_loop(cond, body, init)
+    out = jax.tree.map(
+        lambda buf, l: buf.at[-1].set(jnp.where(done, l, jnp.nan).astype(buf.dtype)),
+        out,
+        x_f,
+    )
     if not return_trajectory:
         out = jax.tree.map(lambda buf: buf[jnp.array([0, T - 1])], out)
     return ODESolution(ys=out, nfe=nfe)
@@ -573,25 +576,35 @@ def sdeint(
         dw = jax.random.normal(k, x.shape, x.dtype) * sqrt_dt
         fx = drift(t0, x)
         gx = diffusion(t0, x)
+        # The update arithmetic promotes to f32 (dt is the ts dtype); cast
+        # back so bf16 states keep a bf16 scan carry.
         if method == "heun":
-            x_pred = x + fx * dt + gx * dw
+            x_pred = (x + fx * dt + gx * dw).astype(x.dtype)
             x_new = (
                 x
                 + 0.5 * (fx + drift(t1, x_pred)) * dt
                 + 0.5 * (gx + diffusion(t1, x_pred)) * dw
-            )
+            ).astype(x.dtype)
             nfe = nfe + 2
         else:
-            x_new = x + fx * dt + gx * dw
+            x_new = (x + fx * dt + gx * dw).astype(x.dtype)
             nfe = nfe + 1
         if logqp_drift is not None:
             hx = logqp_drift(t0, x)
-            u = (fx - hx) / jnp.maximum(jnp.abs(gx), 1e-8)
+            # Accumulate in f32 regardless of the state dtype: a bf16 KL
+            # carry stalls once |kl| outgrows bf16 spacing over long rollouts.
+            u = ((fx - hx) / jnp.maximum(jnp.abs(gx), 1e-8)).astype(jnp.float32)
             axes = tuple(range(1, x.ndim))
-            kl = kl + 0.5 * jnp.sum(jnp.square(u), axis=axes) * jnp.abs(dt)
+            kl = kl + 0.5 * jnp.sum(jnp.square(u), axis=axes) * jnp.abs(
+                dt
+            ).astype(jnp.float32)
         return (x_new, nfe, kl), x_new if return_trajectory else None
 
-    kl0 = jnp.zeros(x0.shape[0], x0.dtype) if logqp_drift is not None else jnp.zeros(())
+    kl0 = (
+        jnp.zeros(x0.shape[0], jnp.float32)
+        if logqp_drift is not None
+        else jnp.zeros(())
+    )
     (xT, nfe, kl), ys = jax.lax.scan(
         scan_step,
         (x0, jnp.zeros((), jnp.int32), kl0),

@@ -123,8 +123,35 @@ def auction_assignment(
         eps0,
         jnp.zeros((), jnp.int32),
     )
-    person_to_obj, _, _, _, _ = jax.lax.while_loop(not_done, body, init)
-    return person_to_obj
+    person_to_obj, obj_to_person, _, _, _ = jax.lax.while_loop(not_done, body, init)
+    return _complete_assignment(person_to_obj, obj_to_person)
+
+
+def _complete_assignment(person_to_obj: jax.Array, obj_to_person: jax.Array) -> jax.Array:
+    """Round-cap safety net: turn a partial matching into a permutation.
+
+    A solve that exhausts ``max_rounds`` leaves ``-1`` sentinels which
+    downstream gathers would silently WRAP (``x1[perm]`` reads the last row,
+    ``_plan_from_perm`` scatters into the last column) — a corrupt coupling
+    with no error. Pair the k-th unassigned person with the k-th unowned
+    object instead: always a valid permutation, near-optimal because prices
+    are converged, and the identity map when the solve finished normally
+    (the common case — every row assigned, this is a no-op).
+    """
+    n = person_to_obj.shape[0]
+    obj_ids = jnp.arange(n, dtype=jnp.int32)
+    unassigned = person_to_obj < 0
+    unowned = obj_to_person < 0
+    person_rank = jnp.cumsum(unassigned) - 1  # rank of person i among unassigned
+    obj_rank = jnp.cumsum(unowned) - 1  # rank of object j among unowned
+    fill = (
+        jnp.zeros((n,), jnp.int32)
+        .at[jnp.where(unowned, obj_rank, n)]
+        .set(obj_ids, mode="drop")
+    )
+    return jnp.where(
+        unassigned, fill[jnp.clip(person_rank, 0, n - 1)], person_to_obj
+    )
 
 
 def _lsa_host(cost: np.ndarray) -> np.ndarray:

@@ -24,6 +24,18 @@ def sq_euclidean_cost(x0: jax.Array, x1: jax.Array) -> jax.Array:
     """
     x0 = flatten_batch(x0)
     x1 = flatten_batch(x1)
+    # Center both clouds by their pooled mean before the dot-form expansion:
+    # pairwise distances are shift-invariant, but ||x||^2 is not — for clouds
+    # far from the origin the uncentered form loses the O(d)-sized distances
+    # to f32 cancellation against the O(|mu|^2 d) norms (the same failure
+    # flash_sinkhorn._center guards; the reference's torch.cdist computes
+    # differences directly and never sees it).
+    mu = 0.5 * (
+        jnp.mean(x0, axis=0, dtype=jnp.float32)
+        + jnp.mean(x1, axis=0, dtype=jnp.float32)
+    )
+    x0 = (x0 - mu).astype(x0.dtype)  # keep the cross term on the bf16 MXU path
+    x1 = (x1 - mu).astype(x1.dtype)
     sq0 = jnp.sum(jnp.square(x0.astype(jnp.float32)), axis=-1)
     sq1 = jnp.sum(jnp.square(x1.astype(jnp.float32)), axis=-1)
     cross = jax.lax.dot_general(

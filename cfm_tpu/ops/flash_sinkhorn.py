@@ -214,31 +214,14 @@ def _flash_sinkhorn_pallas(x, y, loga, logb, reg, num_iters, tol):
 
 
 def _flash_sinkhorn_xla(x, y, loga, logb, reg, num_iters, tol):
-    """Identical math with a materialized cost (CPU fallback + test oracle)."""
-    from .sinkhorn import sinkhorn  # noqa: F401  (semantics twin)
+    """Identical math with a materialized cost (CPU fallback + test oracle):
+    builds the dense (pre-centered) cost and delegates the fixed-point loop
+    to the ONE shared implementation in ops/sinkhorn.sinkhorn_potentials."""
+    from .sinkhorn import sinkhorn_potentials
 
     M = (jnp.sum(jnp.square(x), 1)[:, None] + jnp.sum(jnp.square(y), 1)[None, :]
          - 2.0 * x.astype(jnp.float32) @ y.astype(jnp.float32).T)
-    reg = jnp.asarray(reg, jnp.float32)
-
-    def body(state):
-        f, g, _, it = state
-        from jax.scipy.special import logsumexp
-        f = reg * (loga - logsumexp((g[None, :] - M) / reg, axis=1))
-        g = reg * (logb - logsumexp((f[:, None] - M) / reg, axis=0))
-        row = jnp.exp(logsumexp((f[:, None] + g[None, :] - M) / reg, axis=1))
-        err = jnp.sum(jnp.abs(row - jnp.exp(loga)))
-        return f, g, err, it + 1
-
-    def cond(state):
-        _, _, err, it = state
-        return jnp.logical_and(err > tol, it < num_iters)
-
-    f0 = jnp.zeros_like(loga)
-    g0 = jnp.zeros_like(logb)
-    f, g, _, _ = jax.lax.while_loop(
-        cond, body, (f0, g0, jnp.asarray(jnp.inf, jnp.float32), 0))
-    return f, g
+    return sinkhorn_potentials(loga, logb, M, reg, num_iters=num_iters, tol=tol)
 
 
 def sinkhorn_from_points(

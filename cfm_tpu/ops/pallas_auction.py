@@ -126,7 +126,26 @@ def pallas_auction_assignment(cost: jax.Array, num_phases: int = 12) -> jax.Arra
             pltpu.VMEM((1, n), jnp.float32),
         ],
     )(benefit, eps0.reshape(1), eps_final.reshape(1))
-    return out[:, 0]
+    return _sanitize_perm(out[:, 0], n)
+
+
+def _sanitize_perm(perm: jax.Array, n: int) -> jax.Array:
+    """Round-cap safety net for the kernel outputs: rows left unowned emit
+    the ``n`` sentinel, which downstream gathers would CLAMP to n-1 silently.
+    Complete the partial matching into a valid permutation instead (identity
+    no-op on converged solves — the common case)."""
+    from .assignment import _complete_assignment
+
+    invalid = (perm < 0) | (perm >= n)
+    owned = (
+        jnp.zeros((n,), bool)
+        .at[jnp.where(invalid, n, perm)]
+        .set(True, mode="drop")
+    )
+    return _complete_assignment(
+        jnp.where(invalid, -1, perm),
+        jnp.where(owned, 0, -1).astype(jnp.int32),
+    )
 
 
 def auction_assignment_onehot_xla(cost: jax.Array, num_phases: int = 12) -> jax.Array:
@@ -318,4 +337,4 @@ def pallas_auction_assignment_tiled(cost: jax.Array, num_phases: int = 12) -> ja
             pltpu.SemaphoreType.DMA,
         ],
     )(benefit, eps0.reshape(1), eps_final.reshape(1))
-    return out[:, 0]
+    return _sanitize_perm(out[:, 0], n)

@@ -55,6 +55,27 @@ def sinkhorn(
     loga = jnp.log(a.astype(jnp.float32))
     logb = jnp.log(b.astype(jnp.float32))
     M = M.astype(jnp.float32)
+    f, g = sinkhorn_potentials(loga, logb, M, reg, num_iters=num_iters, tol=tol)
+    reg = jnp.asarray(reg, jnp.float32)
+    return jnp.exp((f[:, None] + g[None, :] - M) / reg)
+
+
+def sinkhorn_potentials(
+    loga: jax.Array,
+    logb: jax.Array,
+    M: jax.Array,
+    reg: float,
+    num_iters: int = 1000,
+    tol: float = 1e-6,
+) -> Tuple[jax.Array, jax.Array]:
+    """The log-domain Sinkhorn fixed-point loop, returning potentials (f, g).
+
+    The ONE implementation behind both :func:`sinkhorn` (dense plan) and the
+    flash path's materialized-cost twin
+    (ops/flash_sinkhorn._flash_sinkhorn_xla) — a numerics fix here reaches
+    every consumer. Stops when the row-marginal L1 error (columns are exact
+    after each g update) drops below ``tol`` or at ``num_iters``.
+    """
     reg = jnp.asarray(reg, jnp.float32)
 
     def body(state):
@@ -64,7 +85,7 @@ def sinkhorn(
         # After the g update column marginals are exact; measure row error.
         log_plan = (f[:, None] + g[None, :] - M) / reg
         row = jnp.exp(logsumexp(log_plan, axis=1))
-        err = jnp.sum(jnp.abs(row - a))
+        err = jnp.sum(jnp.abs(row - jnp.exp(loga)))
         return f, g, err, it + 1
 
     def cond(state):
@@ -73,8 +94,10 @@ def sinkhorn(
 
     f0 = jnp.zeros_like(loga)
     g0 = jnp.zeros_like(logb)
-    f, g, _, _ = jax.lax.while_loop(cond, body, (f0, g0, jnp.asarray(jnp.inf), 0))
-    return jnp.exp((f[:, None] + g[None, :] - M) / reg)
+    f, g, _, _ = jax.lax.while_loop(
+        cond, body, (f0, g0, jnp.asarray(jnp.inf, jnp.float32), 0)
+    )
+    return f, g
 
 
 def sinkhorn2(a, b, M, reg, num_iters: int = 1000, tol: float = 1e-6) -> jax.Array:
@@ -227,6 +250,12 @@ def emd_annealed(
     """
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
+    # Balance the marginal masses like the host path does (native.py
+    # emd_solve rescales b): Sinkhorn fixed points and the rank-one rounding
+    # both assume sum(a) == sum(b); unequal masses would otherwise yield a
+    # plan violating the marginals by the mass ratio, silently and only in
+    # traced mode.
+    b = b * (jnp.sum(a) / jnp.maximum(jnp.sum(b), 1e-38))
     M = M.astype(jnp.float32)
     loga = jnp.log(jnp.maximum(a, 1e-38))
     logb = jnp.log(jnp.maximum(b, 1e-38))

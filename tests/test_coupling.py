@@ -588,3 +588,76 @@ def test_sample_plan_flash_unconverged_falls_back_uniform(monkeypatch):
     d = np.asarray(jnp.sum((a - b) ** 2, axis=1))
     cross = float((d > 100.0).mean())
     assert cross > 0.2, f"guard did not fire: cross-cluster frac {cross}"
+
+
+def test_cost_centering_far_from_origin():
+    """sq_euclidean_cost must center before the dot-form expansion: clouds at
+    offset 1e3 in f32 would otherwise lose the O(d) distances to cancellation
+    against the O(|mu|^2 d) norms (the reference's torch.cdist never sees
+    this because it differences first)."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(64, 8).astype(np.float32)
+    x1 = rng.randn(64, 8).astype(np.float32)
+    from cfm_tpu.ops.cost import sq_euclidean_cost
+
+    base = np.asarray(sq_euclidean_cost(jnp.asarray(x0), jnp.asarray(x1)))
+    off = np.float32(1000.0)
+    shifted = np.asarray(
+        sq_euclidean_cost(jnp.asarray(x0 + off), jnp.asarray(x1 + off))
+    )
+    np.testing.assert_allclose(shifted, base, rtol=1e-3, atol=1e-3)
+
+
+def test_emd_annealed_rescales_unequal_masses():
+    """Traced-path exact OT must match the host path's mass handling: b is
+    rescaled to sum(a), so the returned plan satisfies BOTH marginals."""
+    import numpy as np
+
+    from cfm_tpu.ops.sinkhorn import emd_annealed
+
+    rng = np.random.RandomState(1)
+    M = jnp.asarray(np.abs(rng.randn(24, 16)).astype(np.float32))
+    a = jnp.asarray(rng.rand(24).astype(np.float32))  # sum != 1
+    b = jnp.asarray(3.0 * rng.rand(16).astype(np.float32))  # 3x the mass scale
+    plan = emd_annealed(a, b, M)
+    np.testing.assert_allclose(np.asarray(plan.sum(axis=1)), np.asarray(a),
+                               atol=2e-4)
+    b_scaled = np.asarray(b) * float(a.sum() / b.sum())
+    np.testing.assert_allclose(np.asarray(plan.sum(axis=0)), b_scaled,
+                               atol=2e-4)
+
+
+def test_auction_round_cap_returns_valid_permutation():
+    """An auction solve cut off by max_rounds must still return a valid
+    permutation (the -1 sentinels would silently WRAP in downstream gathers)."""
+    import numpy as np
+
+    from cfm_tpu.ops.assignment import auction_assignment
+
+    M = jnp.asarray(np.abs(np.random.RandomState(2).randn(32, 32)), jnp.float32)
+    perm = auction_assignment(M, max_rounds=2)  # far too few rounds
+    p = np.asarray(perm)
+    assert sorted(p.tolist()) == list(range(32)), p
+    # And the converged solve is unaffected by the safety net.
+    full = np.asarray(auction_assignment(M))
+    assert sorted(full.tolist()) == list(range(32))
+
+
+def test_degenerate_plan_warns_eagerly():
+    """warn=True surfaces the uniform-plan fallback on the eager path
+    (reference optimal_transport.py:88-97)."""
+    import warnings as _w
+
+    import numpy as np
+
+    s = OTPlanSampler(method="sinkhorn", reg=0.05, warn=True)
+    x0 = jnp.asarray(np.random.RandomState(3).randn(8, 2), jnp.float32)
+    x0 = x0.at[0, 0].set(jnp.nan)  # NaN cost row -> non-finite plan
+    x1 = jnp.asarray(np.random.RandomState(4).randn(8, 2), jnp.float32)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        plan = s.get_map(x0, x1)
+    assert bool(jnp.allclose(plan, 1.0 / 64))
+    assert any("Degenerate" in str(r.message) for r in rec)

@@ -463,3 +463,30 @@ def test_tsit5_duplicate_grid_entries_do_not_poison_step_size():
         rtol=2e-4,
     )
     assert int(sol.nfe) < 300, int(sol.nfe)  # pre-fix: 2 + 6*max_steps
+
+
+def test_adaptive_max_steps_exhaustion_is_loud():
+    """Exhausting max_steps must return NaN (torchdiffeq raises; under jit we
+    cannot, so unreached grid points and the 'final' state propagate NaN
+    instead of silently reading as zeros / a mid-integration state)."""
+    f = lambda t, x: -x
+    for method in ("dopri5", "tsit5"):
+        sol = odeint(f, jnp.ones((2,)), jnp.linspace(0.0, 100.0, 11),
+                     method=method, max_steps=3)
+        ys = np.asarray(sol.ys)
+        assert np.isfinite(ys[0]).all()          # x0 is always written
+        assert np.isnan(ys[-1]).all(), method    # the unreached endpoint is loud
+        # A successful solve has no NaN anywhere.
+        ok = odeint(f, jnp.ones((2,)), jnp.linspace(0.0, 1.0, 11), method=method)
+        assert np.isfinite(np.asarray(ok.ys)).all()
+
+
+def test_sdeint_logqp_accumulates_in_f32():
+    f = lambda t, x: -x
+    g = lambda t, x: 0.5 * jnp.ones_like(x)
+    h = lambda t, x: jnp.zeros_like(x)
+    x0 = jnp.ones((4, 3), jnp.bfloat16) * 300  # large drift -> large KL
+    sol = sdeint(f, g, jax.random.PRNGKey(0), x0,
+                 jnp.linspace(0.0, 1.0, 201), logqp_drift=h)
+    assert sol.logqp.dtype == jnp.float32
+    assert bool(jnp.isfinite(sol.logqp).all())
