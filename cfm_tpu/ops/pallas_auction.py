@@ -92,10 +92,13 @@ def _auction_kernel(benefit_ref, eps0_ref, eps_final_ref, out_ref, A_scratch, pr
     A, prices, _, _ = jax.lax.while_loop(
         cond, body, (A0, p0, eps0, jnp.zeros((), jnp.int32))
     )
-    # perm[i] = argmax_j A[i, j], via iota dot-product (argmax-free).
+    # perm[i] = the column row i owns, via a min-reduction with the ``n``
+    # sentinel so rows left unowned on a round-cap bailout surface as
+    # invalid (a sum-of-iota extraction would read an all-zero row as 0 —
+    # a valid-looking index that _sanitize_perm cannot detect).
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), dimension=1)
-    out_ref[:] = jnp.sum(
-        A.astype(jnp.int32) * col_ids, axis=1, keepdims=True
+    out_ref[:] = jnp.min(
+        jnp.where(A > 0.5, col_ids, n), axis=1, keepdims=True
     )
 
 
@@ -133,10 +136,18 @@ def _sanitize_perm(perm: jax.Array, n: int) -> jax.Array:
     """Round-cap safety net for the kernel outputs: rows left unowned emit
     the ``n`` sentinel, which downstream gathers would CLAMP to n-1 silently.
     Complete the partial matching into a valid permutation instead (identity
-    no-op on converged solves — the common case)."""
+    no-op on converged solves — the common case). Defensively also treats
+    duplicate column claims as unassigned (only the first-owner row keeps the
+    column), so a corrupt input can never yield a non-permutation."""
     from .assignment import _complete_assignment
 
+    rows = jnp.arange(n, dtype=jnp.int32)
     invalid = (perm < 0) | (perm >= n)
+    safe = jnp.where(invalid, n, perm)
+    first_owner = (
+        jnp.full((n + 1,), n, jnp.int32).at[safe].min(rows)
+    )
+    invalid = invalid | (first_owner[jnp.clip(perm, 0, n - 1)] != rows)
     owned = (
         jnp.zeros((n,), bool)
         .at[jnp.where(invalid, n, perm)]
@@ -175,7 +186,12 @@ def auction_assignment_onehot_xla(cost: jax.Array, num_phases: int = 12) -> jax.
         (jnp.zeros((n, n), jnp.float32), jnp.zeros((1, n), jnp.float32), eps0,
          jnp.zeros((), jnp.int32)),
     )
-    return jnp.argmax(A, axis=1).astype(jnp.int32)
+    # Min-reduction with the ``n`` sentinel (NOT argmax, which reads an
+    # all-zero row as 0) so round-cap bailouts are detectable, then complete
+    # any partial matching into a valid permutation.
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (n, n), dimension=1)
+    perm = jnp.min(jnp.where(A > 0.5, col_ids, n), axis=1).astype(jnp.int32)
+    return _sanitize_perm(perm, n)
 
 
 # ---------------------------------------------------------------------------

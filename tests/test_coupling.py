@@ -296,6 +296,27 @@ def test_onehot_auction_matches_lap():
         assert abs(ca - copt) / max(copt, 1e-9) < 1e-4
 
 
+def test_sanitize_perm_detects_unowned_rows():
+    """Round-cap bailouts leave unowned rows; the kernels now emit the n
+    sentinel for them (min-reduction, NOT sum/argmax which read an all-zero
+    one-hot row as the valid-looking index 0 — ADVICE r3). _sanitize_perm
+    must complete any such partial matching into a valid permutation."""
+    from cfm_tpu.ops.pallas_auction import _sanitize_perm
+
+    n = 8
+    # Rows 1 and 4 unowned (sentinel n); row 6 also maps to column 0 — the
+    # old sum-extraction shape of the bug: duplicates of 0 would survive.
+    partial = jnp.array([2, n, 0, 5, n, 3, 0, 7], jnp.int32)
+    fixed = np.asarray(_sanitize_perm(partial, n))
+    assert sorted(fixed.tolist()) == list(range(n))
+    # Owned assignments that were unique are preserved.
+    for i, v in [(0, 2), (3, 5), (5, 3), (7, 7)]:
+        assert fixed[i] == v
+    # A complete permutation passes through untouched.
+    ident = jnp.arange(n, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(_sanitize_perm(ident, n)), np.asarray(ident))
+
+
 def test_sharded_sinkhorn_matches_single_device():
     """Row-sharded distributed Sinkhorn == single-device solver on the
     8-device CPU mesh (the batch x batch cost-matrix scaling axis,

@@ -77,6 +77,31 @@ def test_convert_reduce_fusion_without_kernel_operand():
     assert categorize(line) == "convert_reduce_fusion"
 
 
+def test_collectives_bucketed_before_reduce():
+    """"%all-reduce.5" has "reduce" in its LHS; it must land in the
+    collective bucket, not "reduce" (ADVICE r3)."""
+    ar = "%all-reduce.5 = f32[256,256]{1,0} all-reduce(f32[256,256]{1,0} %x)"
+    assert categorize(ar) == "collective"
+    rs = "%reduce-scatter.2 = f32[32,256]{1,0} reduce-scatter(f32[256,256]{1,0} %x)"
+    assert categorize(rs) == "collective"
+    ag = "%all-gather.1 = f32[256,256]{1,0} all-gather(f32[32,256]{1,0} %x)"
+    assert categorize(ag) == "collective"
+    cp = "%collective-permute.3 = f32[8,8]{1,0} collective-permute(f32[8,8]{1,0} %x)"
+    assert categorize(cp) == "collective"
+
+
+def test_send_recv_bucketed_host_io():
+    send = "%send.1 = (f32[8]{0}, u32[], token[]) send(f32[8]{0} %x, token[] %t)"
+    assert categorize(send) == "host-io"
+    recv = "%recv-done.2 = (f32[8]{0}, token[]) recv-done((f32[8]{0}, u32[], token[]) %r)"
+    assert categorize(recv) == "host-io"
+
+
+def test_plain_reduce_still_reduce():
+    line = "%reduce.9 = f32[128]{0} reduce(f32[128,256]{1,0} %x, f32[] %zero)"
+    assert categorize(line) == "reduce"
+
+
 def test_one_by_one_conv_kernels_bucketed():
     """The UNet's 1x1 skip-projection convs must land in the conv buckets."""
     wgrad = "%fusion.7 = (f32[]{:T(128)}, bf16[1,1,128,256]{3,2,1,0}) fusion(bf16[128,32,32,128]{} %x)"

@@ -43,7 +43,9 @@ def categorize(name: str) -> str:
                 "custom-call", "rng-bit-generator", "rng", "convolution",
                 "fusion", "copy-start", "copy-done", "copy", "transpose",
                 "bitcast", "reduce-scatter", "all-reduce", "all-gather",
-                "reduce", "dot", "infeed", "outfeed",
+                "all-to-all", "collective-permute", "reduce", "dot",
+                "infeed", "outfeed", "send-done", "recv-done", "send",
+                "recv",
             )
             if f" {op}(" in rhs
         ),
@@ -69,6 +71,15 @@ def categorize(name: str) -> str:
         return "conv fwd/dgrad fusion"
     if opcode in ("dot", "matmul") or lhs.startswith(("dot", "matmul")) or ".dot" in lhs:
         return "matmul"
+    # Collectives BEFORE the reduce branch: "%all-reduce.5" has "reduce" in
+    # its lhs and used to be mis-bucketed as "reduce" (ADVICE r3).
+    if opcode in ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+                  "collective-permute") or lhs.startswith(
+                      ("all-reduce", "all-gather", "reduce-scatter",
+                       "all-to-all", "collective-permute", "%all-reduce",
+                       "%all-gather", "%reduce-scatter", "%all-to-all",
+                       "%collective-permute")):
+        return "collective"
     if "convert" in lhs and "reduce" in lhs:
         return "convert_reduce_fusion"
     if "reduce" in lhs or opcode == "reduce":
@@ -77,9 +88,8 @@ def categorize(name: str) -> str:
         return "fusion(elementwise)"
     if opcode in ("copy", "copy-start", "copy-done", "transpose", "bitcast") or "copy" in lhs or "transpose" in lhs:
         return "copy/transpose"
-    if opcode.startswith(("all-reduce", "all-gather", "reduce-scatter", "collective")):
-        return "collective"
-    if opcode in ("infeed", "outfeed") or "send" in opcode or "recv" in opcode:
+    if opcode in ("infeed", "outfeed", "send", "recv", "send-done",
+                  "recv-done"):
         return "host-io"
     return "other"
 
