@@ -86,8 +86,9 @@ class GroupNorm32(nn.Module):
             return _gn_silu_reference(x, scale, bias, groups, 1e-5, self.fuse_silu)
         # Non-NHWC inputs (e.g. flattened token tensors) use plain fp32 GN.
         out = nn.GroupNorm(
-            num_groups=groups, dtype=jnp.float32, param_dtype=jnp.float32,
-            use_scale=False, use_bias=False, name="raw_gn",
+            num_groups=groups, epsilon=1e-5, dtype=jnp.float32,
+            param_dtype=jnp.float32, use_scale=False, use_bias=False,
+            name="raw_gn",
         )(x.astype(jnp.float32))
         out = out * scale + bias
         if self.fuse_silu:
@@ -556,9 +557,20 @@ class SuperResModel(nn.Module):
 class EncoderUNetModel(nn.Module):
     """The down-path half of the UNet + a pooled head (reference :651-852).
 
-    ``pool``: "adaptive" (global mean), "attention" (AttentionPool2d), or
-    "spatial" (flatten + MLP). Used as a feature extractor / classifier over
-    the diffusion trunk.
+    ``pool`` (reference :830-852 ``self.out``):
+    - "adaptive": GN+SiLU, global mean pool, zero-initialized linear head
+      (== the reference's AdaptiveAvgPool2d + zero 1x1 conv).
+    - "attention": GN+SiLU, :class:`AttentionPool2d` with
+      ``embed_dim // num_head_channels`` heads (``num_head_channels`` must be
+      set, reference :837).
+    - "spatial" / "spatial_v2": the reference concatenates the SPATIAL MEAN
+      of every input block's output (including the stem conv and each
+      downsample block) plus the middle block's — ``_feature_size`` channels
+      in total (reference :869-880) — then MLP(2048) with ReLU ("spatial")
+      or GroupNorm+SiLU ("spatial_v2") before the output layer. No final GN
+      on the trunk for these modes.
+
+    Used as a feature extractor / classifier over the diffusion trunk.
     """
 
     in_channels: int
@@ -566,15 +578,20 @@ class EncoderUNetModel(nn.Module):
     out_channels: int
     num_res_blocks: int
     attention_resolutions: Sequence[int] = ()
+    dropout: float = 0.0
     channel_mult: Sequence[float] = (1, 2, 4, 8)
+    conv_resample: bool = True
     num_heads: int = 1
     num_head_channels: int = -1
     use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
     pool: str = "adaptive"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, t: Array, x: Array, train: bool = False) -> Array:
+        if self.pool not in ("adaptive", "attention", "spatial", "spatial_v2"):
+            raise ValueError(f"Unknown pool: {self.pool}")
         t = jnp.asarray(t)
         if t.ndim == 0:
             t = jnp.full((x.shape[0],), t)
@@ -583,15 +600,24 @@ class EncoderUNetModel(nn.Module):
         emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32)(emb)
         emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32)(nn.silu(emb))
 
+        spatial = self.pool.startswith("spatial")
+        feats = []
+
+        def collect(h):
+            if spatial:
+                feats.append(jnp.mean(h.astype(jnp.float32), axis=(1, 2)))
+
         h = x.astype(self.dtype)
         ch = int(self.channel_mult[0] * self.model_channels)
         h = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, param_dtype=jnp.float32)(h)
+        collect(h)
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
                 ch = int(mult * self.model_channels)
                 h = ResBlock(
                     out_channels=ch,
+                    dropout=self.dropout,
                     use_scale_shift_norm=self.use_scale_shift_norm,
                     dtype=self.dtype,
                     name=f"down{level}_res{i}",
@@ -603,30 +629,58 @@ class EncoderUNetModel(nn.Module):
                         dtype=self.dtype,
                         name=f"down{level}_attn{i}",
                     )(h)
+                collect(h)
             if level != len(self.channel_mult) - 1:
-                h = Downsample(True, out_channels=ch, dtype=self.dtype,
-                               name=f"down{level}_down")(h)
+                if self.resblock_updown:
+                    h = ResBlock(
+                        out_channels=ch,
+                        dropout=self.dropout,
+                        use_scale_shift_norm=self.use_scale_shift_norm,
+                        down=True,
+                        dtype=self.dtype,
+                        name=f"down{level}_downres",
+                    )(h, emb, train)
+                else:
+                    h = Downsample(self.conv_resample, out_channels=ch,
+                                   dtype=self.dtype, name=f"down{level}_down")(h)
+                collect(h)
                 ds *= 2
-        h = ResBlock(use_scale_shift_norm=self.use_scale_shift_norm,
+        h = ResBlock(dropout=self.dropout,
+                     use_scale_shift_norm=self.use_scale_shift_norm,
                      dtype=self.dtype, name="mid_res0")(h, emb, train)
         h = AttentionBlock(num_heads=self.num_heads,
                            num_head_channels=self.num_head_channels,
                            dtype=self.dtype, name="mid_attn")(h)
-        h = ResBlock(use_scale_shift_norm=self.use_scale_shift_norm,
+        h = ResBlock(dropout=self.dropout,
+                     use_scale_shift_norm=self.use_scale_shift_norm,
                      dtype=self.dtype, name="mid_res1")(h, emb, train)
+        collect(h)
+
+        if spatial:
+            flat = jnp.concatenate(feats, axis=-1)  # (n, _feature_size)
+            hdn = nn.Dense(2048, param_dtype=jnp.float32)(flat)
+            if self.pool == "spatial_v2":
+                hdn = GroupNorm32(fuse_silu=True)(hdn)
+            else:
+                hdn = nn.relu(hdn)
+            return nn.Dense(self.out_channels, param_dtype=jnp.float32)(hdn)
 
         h = GroupNorm32(fuse_silu=True)(h).astype(jnp.float32)
         if self.pool == "adaptive":
             pooled = jnp.mean(h, axis=(1, 2))
-            return nn.Dense(self.out_channels, param_dtype=jnp.float32)(pooled)
-        if self.pool == "attention":
-            return AttentionPool2d(
-                embed_dim=h.shape[-1],
-                num_heads=max(1, self.num_heads),
-                output_dim=self.out_channels,
-            )(h)
-        if self.pool == "spatial":
-            flat = h.reshape(h.shape[0], -1)
-            hdn = nn.relu(nn.Dense(2048, param_dtype=jnp.float32)(flat))
-            return nn.Dense(self.out_channels, param_dtype=jnp.float32)(hdn)
-        raise ValueError(f"Unknown pool: {self.pool}")
+            # Zero-initialized head == the reference's zero_module 1x1 conv.
+            return nn.Dense(
+                self.out_channels,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                param_dtype=jnp.float32,
+            )(pooled)
+        # attention pool: heads fixed by channel width (reference :837).
+        assert self.num_head_channels != -1, (
+            "pool='attention' requires num_head_channels"
+        )
+        return AttentionPool2d(
+            embed_dim=h.shape[-1],
+            num_heads=h.shape[-1] // self.num_head_channels,
+            output_dim=self.out_channels,
+        )(h)

@@ -472,3 +472,146 @@ def test_fused_attention_t_matches_layouts(key, dtype):
     np.testing.assert_allclose(np.asarray(g1, np.float32),
                                np.asarray(g2.transpose(0, 3, 1, 2, 4), np.float32),
                                atol=tol * 10)
+
+
+# ---------------------------------------------------------------------------
+# Torch-mirror numeric parity for the previously-unexecuted UNet surfaces
+# (EncoderUNetModel all pool modes, SuperResModel, AttentionPool2d) —
+# VERDICT r3 item 1. Identical randomized weights drive the flax module and
+# an independent torch re-implementation (tests/helpers/torch_unet_mirror.py)
+# of the reference semantics (torchcfm/models/unet/unet.py:23-50,635-852).
+# ---------------------------------------------------------------------------
+
+
+def _randomize(params, key, scale=0.2):
+    """Replace every param leaf (incl. zero-inits) with random normals so
+    parity errors in zero-initialized convs are visible."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.normal(k, l.shape, jnp.float32) * scale
+         for k, l in zip(keys, leaves)],
+    )
+
+
+_ENC_CFG = dict(
+    in_channels=3, model_channels=8, out_channels=5, num_res_blocks=1,
+    attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=4,
+)
+
+
+def _torch_mirror():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "helpers"))
+    import torch_unet_mirror
+    return torch_unet_mirror
+
+
+@pytest.mark.parametrize("pool", ["adaptive", "attention", "spatial", "spatial_v2"])
+def test_encoder_unet_matches_torch_mirror(key, pool):
+    import torch
+    from cfm_tpu.models import EncoderUNetModel
+
+    tm = _torch_mirror()
+    m = EncoderUNetModel(pool=pool, **_ENC_CFG)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 8, 8, 3))
+    t = jnp.array([0.25, 0.75])
+    params = m.init(jax.random.PRNGKey(0), t, x)["params"]
+    params = _randomize(params, k2)
+    out = m.apply({"params": params}, t, x)
+    assert out.shape == (2, 5)
+    cfg = dict(_ENC_CFG, pool=pool)
+    ref = tm.encoder_forward(params, cfg, torch.tensor([0.25, 0.75]),
+                             torch.from_numpy(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_scale_shift_norm", [False, True])
+def test_unet_matches_torch_mirror(key, use_scale_shift_norm):
+    """Full UNetModel (down + mid + up, attention, class-cond) vs the torch
+    mirror — pins the flagship trunk numerics end to end."""
+    import torch
+    from cfm_tpu.models import UNetModel
+
+    tm = _torch_mirror()
+    cfg = dict(
+        in_channels=3, model_channels=8, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=4,
+        num_classes=4, use_scale_shift_norm=use_scale_shift_norm,
+    )
+    m = UNetModel(**cfg)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 8, 8, 3))
+    t = jnp.array([0.1, 0.9])
+    y = jnp.array([1, 3])
+    params = m.init(jax.random.PRNGKey(0), t, x, y)["params"]
+    params = _randomize(params, k2)
+    out = m.apply({"params": params}, t, x, y)
+    assert out.shape == (2, 8, 8, 3)
+    ref = tm.unet_forward(params, cfg, torch.tensor([0.1, 0.9]),
+                          torch.from_numpy(np.asarray(x)),
+                          torch.tensor([1, 3]))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_superres_matches_torch_mirror(key):
+    import torch
+    from cfm_tpu.models import SuperResModel, UNetModel
+
+    tm = _torch_mirror()
+    cfg = dict(
+        in_channels=6, model_channels=8, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=4,
+    )
+    m = SuperResModel(base=UNetModel(**cfg))
+    k1, k2, k3 = jax.random.split(key, 3)
+    x = jax.random.normal(k1, (2, 8, 8, 3))
+    low = jax.random.normal(k2, (2, 4, 4, 3))
+    t = jnp.array([0.3, 0.6])
+    params = m.init(jax.random.PRNGKey(0), t, x, low)["params"]
+    params = _randomize(params, k3)
+    out = m.apply({"params": params}, t, x, low)
+    assert out.shape == (2, 8, 8, 3)
+    ref = tm.superres_forward(params, cfg, torch.tensor([0.3, 0.6]),
+                              torch.from_numpy(np.asarray(x)),
+                              torch.from_numpy(np.asarray(low)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_attention_pool2d_matches_torch_mirror(key):
+    import torch
+    from cfm_tpu.models import AttentionPool2d
+
+    tm = _torch_mirror()
+    m = AttentionPool2d(embed_dim=16, num_heads=4, output_dim=6)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (3, 4, 4, 16))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    params = _randomize(params, k2)
+    out = m.apply({"params": params}, x)
+    assert out.shape == (3, 6)
+    ref = tm.attention_pool2d(params, torch.from_numpy(np.asarray(x)), 4)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_encoder_unet_bf16_and_gradients(key):
+    """bf16 torso smoke + gradient flow for the encoder (all-pool grads are
+    finite and nonzero through attention pooling)."""
+    from cfm_tpu.models import EncoderUNetModel
+
+    m16 = EncoderUNetModel(pool="attention", dtype=jnp.bfloat16, **_ENC_CFG)
+    x = jax.random.normal(key, (2, 8, 8, 3))
+    t = jnp.array([0.5, 0.5])
+    params = m16.init(jax.random.PRNGKey(0), t, x)["params"]
+    out = m16.apply({"params": params}, t, x)
+    assert out.shape == (2, 5) and np.isfinite(np.asarray(out)).all()
+
+    def loss(p):
+        return jnp.sum(m16.apply({"params": p}, t, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in flat)
+    assert any(float(jnp.max(jnp.abs(l))) > 0 for l in flat)
