@@ -105,6 +105,7 @@ class OTPlanSampler:
         x1: jax.Array,
         a: Optional[jax.Array] = None,
         b: Optional[jax.Array] = None,
+        return_status: bool = False,
     ) -> jax.Array:
         """OT plan (n, m) for squared-Euclidean cost between minibatches.
 
@@ -112,6 +113,13 @@ class OTPlanSampler:
         ``pot.emd(a, b, M)`` generality (reference optimal_transport.py:87):
         unequal batch sizes and weighted marginals are supported for every
         method, including "exact".
+
+        ``return_status=True`` additionally returns a traced boolean scalar
+        that is True when the solve degenerated (zero mass / non-finite) and
+        the uniform-coupling fallback fired — the jit-observable form of the
+        reference's printed warning (optimal_transport.py:88-97); thread it
+        into step metrics to catch couplings that silently collapse to
+        independent pairing inside a compiled train step.
         """
         n, m = x0.shape[0], x1.shape[0]
         uniform_marginals = a is None and b is None
@@ -137,6 +145,13 @@ class OTPlanSampler:
         # Degenerate-plan fallback mirrors the reference (:88-97), jit-safe.
         total = jnp.sum(plan)
         bad = jnp.logical_or(jnp.abs(total) < 1e-8, ~jnp.all(jnp.isfinite(plan)))
+        if self.method in ("exact", "sinkhorn"):
+            # Balanced methods must reproduce the row marginals; a finite but
+            # unconverged/overflowed solve (e.g. reg underflowing the cost
+            # scale) yields a finite plan with garbage marginals, which the
+            # zero-mass test alone does not catch. ~(err < tol) is NaN-safe.
+            rel_err = jnp.sum(jnp.abs(jnp.sum(plan, axis=1) - a)) / jnp.sum(a)
+            bad = jnp.logical_or(bad, ~(rel_err < 0.5))
         if self.warn and not isinstance(bad, jax.core.Tracer) and bool(bad):
             # Eager path only — traced values cannot be inspected; under jit
             # the fallback stays silent (document over crash).
@@ -145,7 +160,10 @@ class OTPlanSampler:
                 "to the uniform coupling — check reg/batch contents."
             )
         uniform = jnp.full_like(plan, 1.0 / (n * m))
-        return jnp.where(bad, uniform, plan)
+        plan = jnp.where(bad, uniform, plan)
+        if return_status:
+            return plan, bad
+        return plan
 
     def _solve_assignment(self, M: jax.Array) -> jax.Array:
         return solve_assignment(M, self.solver)
@@ -182,9 +200,14 @@ class OTPlanSampler:
         return i, j
 
     def sample_plan(
-        self, key: jax.Array, x0: jax.Array, x1: jax.Array, replace: bool = True
+        self, key: jax.Array, x0: jax.Array, x1: jax.Array, replace: bool = True,
+        return_status: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """Re-pair the minibatch according to the OT plan (reference :123-145).
+
+        ``return_status=True`` appends the degenerate-solve boolean (see
+        :meth:`get_map`) so jitted callers can log when the coupling fell
+        back to independent/uniform pairing.
 
         Large sinkhorn couplings (n*m >= 2048^2 by default, or ``flash=True``
         in the constructor) route through the flash kernel
@@ -232,9 +255,13 @@ class OTPlanSampler:
             )
             j_uniform = jax.random.randint(ku, (n,), 0, m)
             j = jnp.where(ok, j, j_uniform)
+            if return_status:
+                return x0, x1[j], ~ok
             return x0, x1[j]
-        pi = self.get_map(x0, x1)
+        pi, bad = self.get_map(x0, x1, return_status=True)
         i, j = self.sample_map(key, pi, x0.shape[0], replace=replace)
+        if return_status:
+            return x0[i], x1[j], bad
         return x0[i], x1[j]
 
     def _use_flash(self, x0: jax.Array, x1: jax.Array, replace: bool) -> bool:
@@ -272,16 +299,22 @@ class OTPlanSampler:
         y0: Optional[jax.Array] = None,
         y1: Optional[jax.Array] = None,
         replace: bool = True,
+        return_status: bool = False,
     ):
-        """Coupled resampling that carries labels along (reference :184-219)."""
-        pi = self.get_map(x0, x1)
+        """Coupled resampling that carries labels along (reference :184-219).
+
+        ``return_status=True`` appends the degenerate-solve boolean (see
+        :meth:`get_map`).
+        """
+        pi, bad = self.get_map(x0, x1, return_status=True)
         i, j = self.sample_map(key, pi, x0.shape[0], replace=replace)
-        return (
+        out = (
             x0[i],
             x1[j],
             y0[i] if y0 is not None else None,
             y1[j] if y1 is not None else None,
         )
+        return out + (bad,) if return_status else out
 
     def sample_trajectory(self, key: jax.Array, X: jax.Array) -> jax.Array:
         """Chain per-timepoint-pair OT plans over a (bs, T, *dim) population.

@@ -72,10 +72,14 @@ class ConditionalFlowMatcher:
         x1: Array,
         t: Optional[Array] = None,
         return_noise: bool = False,
+        return_coupling_status: bool = False,
     ):
         """Draw (t, xt, ut[, eps]) for a training batch (ref :159-199).
 
         ``key`` drives both the t draw (if ``t`` is None) and the path noise.
+        ``return_coupling_status=True`` appends a traced boolean that is
+        always False for uncoupled matchers; the OT/SB matchers override it
+        with the real degenerate-solve flag (see _CoupledMixin).
 
         >>> import jax, jax.numpy as jnp
         >>> m = ConditionalFlowMatcher(sigma=0.1)
@@ -98,9 +102,8 @@ class ConditionalFlowMatcher:
         eps = self.sample_noise_like(eps_key, x0)
         xt = self.sample_xt(x0, x1, t, eps)
         ut = self.compute_conditional_flow(x0, x1, t, xt)
-        if return_noise:
-            return t, xt, ut, eps
-        return t, xt, ut
+        out = (t, xt, ut, eps) if return_noise else (t, xt, ut)
+        return out + (jnp.zeros((), bool),) if return_coupling_status else out
 
     def compute_lambda(self, t) -> Array:
         """Score weighting lambda(t) = 2 sigma_t / (sigma^2 + 1e-8) (ref :201-217)."""
@@ -135,17 +138,31 @@ class _CoupledMixin:
         return clone
 
     def sample_location_and_conditional_flow(
-        self, key: Array, x0: Array, x1: Array, t=None, return_noise: bool = False
+        self, key: Array, x0: Array, x1: Array, t=None, return_noise: bool = False,
+        return_coupling_status: bool = False,
     ):
+        """Coupled (t, xt, ut[, eps][, degenerate]) draw.
+
+        ``return_coupling_status=True`` appends the traced degenerate-solve
+        boolean from :meth:`OTPlanSampler.sample_plan` — True when the OT
+        solve collapsed and the uniform/independent fallback fired. This is
+        the jit-observable replacement for the reference's eager print
+        (optimal_transport.py:88-97); ``make_train_step`` threads it into the
+        ``coupling_degenerate`` step metric.
+        """
         if getattr(self, "_skip_coupling", False):
-            return ConditionalFlowMatcher.sample_location_and_conditional_flow(
+            out = ConditionalFlowMatcher.sample_location_and_conditional_flow(
                 self, key, x0, x1, t, return_noise
             )
+            return out + (jnp.zeros((), bool),) if return_coupling_status else out
         plan_key, path_key = jax.random.split(key)
-        x0, x1 = self.ot_sampler.sample_plan(plan_key, x0, x1)
-        return ConditionalFlowMatcher.sample_location_and_conditional_flow(
+        x0, x1, bad = self.ot_sampler.sample_plan(
+            plan_key, x0, x1, return_status=True
+        )
+        out = ConditionalFlowMatcher.sample_location_and_conditional_flow(
             self, path_key, x0, x1, t, return_noise
         )
+        return out + (bad,) if return_coupling_status else out
 
     def guided_sample_location_and_conditional_flow(
         self,
@@ -156,23 +173,31 @@ class _CoupledMixin:
         y1: Optional[Array] = None,
         t=None,
         return_noise: bool = False,
+        return_coupling_status: bool = False,
     ):
-        """Label-carrying coupled sampling (ref :274-316, :489-556)."""
+        """Label-carrying coupled sampling (ref :274-316, :489-556).
+
+        ``return_coupling_status=True`` appends the degenerate-solve boolean
+        (see :meth:`sample_location_and_conditional_flow`).
+        """
         if getattr(self, "_skip_coupling", False):
             path_key = key
+            bad = jnp.zeros((), bool)
         else:
             plan_key, path_key = jax.random.split(key)
-            x0, x1, y0, y1 = self.ot_sampler.sample_plan_with_labels(
-                plan_key, x0, x1, y0, y1
+            x0, x1, y0, y1, bad = self.ot_sampler.sample_plan_with_labels(
+                plan_key, x0, x1, y0, y1, return_status=True
             )
         out = ConditionalFlowMatcher.sample_location_and_conditional_flow(
             self, path_key, x0, x1, t, return_noise
         )
         if return_noise:
             t, xt, ut, eps = out
-            return t, xt, ut, y0, y1, eps
-        t, xt, ut = out
-        return t, xt, ut, y0, y1
+            out = (t, xt, ut, y0, y1, eps)
+        else:
+            t, xt, ut = out
+            out = (t, xt, ut, y0, y1)
+        return out + (bad,) if return_coupling_status else out
 
 
 class ExactOptimalTransportConditionalFlowMatcher(_CoupledMixin, ConditionalFlowMatcher):

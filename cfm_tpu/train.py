@@ -135,19 +135,28 @@ def make_train_step(
     def loss_fn(params, key, x0, x1, y0, y1):
         key, drop_key, score_drop_key = jax.random.split(key, 3)
         if class_conditional:
-            t, xt, ut, y0_, y1_, eps = matcher.guided_sample_location_and_conditional_flow(
-                key, x0, x1, y0=y0, y1=y1, return_noise=True
+            t, xt, ut, y0_, y1_, eps, coupling_bad = (
+                matcher.guided_sample_location_and_conditional_flow(
+                    key, x0, x1, y0=y0, y1=y1, return_noise=True,
+                    return_coupling_status=True,
+                )
             )
             cond = y1_
         else:
-            t, xt, ut, eps = matcher.sample_location_and_conditional_flow(
-                key, x0, x1, return_noise=True
+            t, xt, ut, eps, coupling_bad = (
+                matcher.sample_location_and_conditional_flow(
+                    key, x0, x1, return_noise=True, return_coupling_status=True
+                )
             )
             cond = None
         flow_params = params["flow"] if use_score else params
         vt = call_model(apply_fn, flow_params, t, xt, cond, drop_key)
         flow_loss = jnp.mean(jnp.square(vt - ut))
-        metrics = {"loss": flow_loss, "flow_loss": flow_loss}
+        # coupling_degenerate surfaces the in-jit uniform-coupling fallback
+        # (reference optimal_transport.py:88-97 prints eagerly; a compiled
+        # step can't). Float so pmean gives the degenerate-shard fraction.
+        metrics = {"loss": flow_loss, "flow_loss": flow_loss,
+                   "coupling_degenerate": coupling_bad.astype(jnp.float32)}
         if use_score:
             lambda_t = matcher.compute_lambda(t)
             st = call_model(score_apply_fn, params["score"], t, xt, cond, score_drop_key)
@@ -244,6 +253,7 @@ def make_data_parallel_train_step(
     wsc = jax.lax.with_sharding_constraint
 
     def step_fn(state, key, x0, x1, y0=None, y1=None):
+        coupling_bad = None
         if coupled:
             kc, key = jax.random.split(key)
             x0r = wsc(x0, replicated)
@@ -251,16 +261,25 @@ def make_data_parallel_train_step(
             if y0 is not None or y1 is not None:
                 y0r = wsc(y0, replicated) if y0 is not None else None
                 y1r = wsc(y1, replicated) if y1 is not None else None
-                x0c, x1c, y0c, y1c = matcher.ot_sampler.sample_plan_with_labels(
-                    kc, x0r, x1r, y0r, y1r
+                x0c, x1c, y0c, y1c, coupling_bad = (
+                    matcher.ot_sampler.sample_plan_with_labels(
+                        kc, x0r, x1r, y0r, y1r, return_status=True
+                    )
                 )
                 y0 = wsc(y0c, batch_sharded) if y0c is not None else None
                 y1 = wsc(y1c, batch_sharded) if y1c is not None else None
             else:
-                x0c, x1c = matcher.ot_sampler.sample_plan(kc, x0r, x1r)
+                x0c, x1c, coupling_bad = matcher.ot_sampler.sample_plan(
+                    kc, x0r, x1r, return_status=True
+                )
             x0 = wsc(x0c, batch_sharded)
             x1 = wsc(x1c, batch_sharded)
-        return inner(state, key, x0, x1, y0, y1)
+        state, metrics = inner(state, key, x0, x1, y0, y1)
+        if coupling_bad is not None:
+            # Overwrite the inner (uncoupled) matcher's always-False flag
+            # with the real global-coupling status.
+            metrics["coupling_degenerate"] = coupling_bad.astype(jnp.float32)
+        return state, metrics
 
     jitted = jax.jit(
         step_fn,

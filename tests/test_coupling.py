@@ -682,3 +682,51 @@ def test_degenerate_plan_warns_eagerly():
         plan = s.get_map(x0, x1)
     assert bool(jnp.allclose(plan, 1.0 / 64))
     assert any("Degenerate" in str(r.message) for r in rec)
+
+
+def test_get_map_degenerate_status_and_marginal_guard():
+    """return_status surfaces the uniform fallback in-jit; the balanced-
+    method marginal check catches finite-but-garbage plans (underflowed reg
+    gave a finite plan with row sums ~29x the marginals before this guard)."""
+    k0, k1 = jax.random.split(jax.random.PRNGKey(3))
+    x0 = jax.random.normal(k0, (16, 2))
+    x1 = jax.random.normal(k1, (16, 2)) + 5.0
+
+    s_ok = OTPlanSampler(method="sinkhorn", reg=0.5, warn=False)
+    plan, bad = jax.jit(lambda a, b: s_ok.get_map(a, b, return_status=True))(x0, x1)
+    assert not bool(bad)
+    np.testing.assert_allclose(float(jnp.sum(plan)), 1.0, atol=1e-4)
+
+    s_bad = OTPlanSampler(method="sinkhorn", reg=1e-30, warn=False)
+    plan, bad = jax.jit(lambda a, b: s_bad.get_map(a, b, return_status=True))(x0, x1)
+    assert bool(bad)
+    # Fallback IS the uniform coupling.
+    np.testing.assert_allclose(np.asarray(plan), 1.0 / 256.0, atol=1e-9)
+
+    # sample_plan threads the same flag.
+    x0c, x1c, bad2 = jax.jit(
+        lambda k, a, b: s_bad.sample_plan(k, a, b, return_status=True)
+    )(jax.random.PRNGKey(0), x0, x1)
+    assert bool(bad2) and x0c.shape == x0.shape
+
+    # exact stays healthy on the same inputs.
+    s_exact = OTPlanSampler(method="exact")
+    _, bad3 = jax.jit(lambda a, b: s_exact.get_map(a, b, return_status=True))(x0, x1)
+    assert not bool(bad3)
+
+
+def test_flash_sample_plan_degenerate_status():
+    """The flash-Sinkhorn route reports its own convergence flag."""
+    k0, k1 = jax.random.split(jax.random.PRNGKey(4))
+    x0 = jax.random.normal(k0, (64, 2))
+    x1 = jax.random.normal(k1, (64, 2)) + 5.0
+    s = OTPlanSampler(method="sinkhorn", reg=1e-30, warn=False, flash=True)
+    _, _, bad = jax.jit(
+        lambda k, a, b: s.sample_plan(k, a, b, return_status=True)
+    )(jax.random.PRNGKey(0), x0, x1)
+    assert bool(bad)
+    s_ok = OTPlanSampler(method="sinkhorn", reg=0.5, warn=False, flash=True)
+    _, _, ok_bad = jax.jit(
+        lambda k, a, b: s_ok.sample_plan(k, a, b, return_status=True)
+    )(jax.random.PRNGKey(0), x0, x1)
+    assert not bool(ok_bad)

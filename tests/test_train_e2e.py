@@ -314,3 +314,43 @@ def test_data_parallel_sampling_matches_single_device():
     for coll in ("all-reduce", "all-gather", "collective-permute",
                  "reduce-scatter", "all-to-all"):
         assert coll not in hlo, coll
+
+
+def test_coupling_degenerate_metric_fires_in_jit():
+    """VERDICT r3 item 2: a Sinkhorn coupling whose reg underflows the cost
+    scale degenerates INSIDE the compiled step; the coupling_degenerate
+    metric must surface it (the reference prints eagerly,
+    optimal_transport.py:88-97 — a jitted step cannot)."""
+    from cfm_tpu import SchrodingerBridgeConditionalFlowMatcher
+
+    # sigma=2e-6 -> ot_sampler reg = 2*sigma^2 = 8e-12: exp(-M/reg) under-
+    # flows for any O(1) cost, so the plan collapses every step.
+    with pytest.warns(UserWarning, match="numerical instability"):
+        matcher = SchrodingerBridgeConditionalFlowMatcher(
+            sigma=2e-6, ot_method="sinkhorn"
+        )
+    matcher.ot_sampler.warn = False
+    model = MLP(dim=2, w=16)
+    key = jax.random.PRNGKey(0)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=1e-3, warmup_steps=0, grad_clip=1.0)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(matcher, model.apply, opt))
+    k0, k1, ks = jax.random.split(key, 3)
+    x0 = jax.random.normal(k0, (32, 2))
+    x1 = jax.random.normal(k1, (32, 2)) + 5.0
+    _, metrics = step(state, ks, x0, x1)
+    assert float(metrics["coupling_degenerate"]) == 1.0
+    assert np.isfinite(float(metrics["loss"]))
+
+    # Healthy exact-OT coupling reports 0.0.
+    matcher_ok = ExactOptimalTransportConditionalFlowMatcher(sigma=0.1)
+    step_ok = jax.jit(make_train_step(matcher_ok, model.apply, opt))
+    _, metrics_ok = step_ok(init_train_state(params, opt), ks, x0, x1)
+    assert float(metrics_ok["coupling_degenerate"]) == 0.0
+
+    # Uncoupled matchers always report 0.0 (flag exists for homogeneity).
+    step_icfm = jax.jit(make_train_step(ConditionalFlowMatcher(sigma=0.1),
+                                        model.apply, opt))
+    _, metrics_icfm = step_icfm(init_train_state(params, opt), ks, x0, x1)
+    assert float(metrics_icfm["coupling_degenerate"]) == 0.0
