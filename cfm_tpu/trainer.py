@@ -296,6 +296,8 @@ class Trainer:
                 raise
             data, labels = loader(cfg.data.data_dir, train=True, synthetic=True)
             print(f"WARNING: {cfg.data.dataset} not found on disk; using synthetic data")
+        # Fixed uint8 slice for the tracking-FID quality curve (evaluate()).
+        self._ref_images_u8 = np.asarray(data[:4096])
         if cfg.data.on_device:
             # Whole dataset to HBM once; batches gathered in-step.
             self._device_data = jax.device_put(jnp.asarray(data))
@@ -381,15 +383,12 @@ class Trainer:
         cfg = self.cfg
         total = cfg.trainer.total_steps if max_steps is None else max_steps
         start = int(self.state.step)
-        if cfg.trainer.early_stop_metric and (
-            self.is_image or not cfg.trainer.eval_interval
-        ):
-            # The early-stop check lives in the vector eval loop; reject the
-            # config upfront instead of silently never checking it.
-            raise ValueError(
-                "early_stop_metric requires eval_interval > 0 and a vector "
-                "datamodule (image runs have no in-loop eval metrics)"
-            )
+        if cfg.trainer.early_stop_metric and not cfg.trainer.eval_interval:
+            # The early-stop check lives in the periodic eval loop; reject the
+            # config upfront instead of silently never checking it. (Image
+            # runs are eligible too: evaluate() reports tracking_fid/gen
+            # stats, so e.g. early_stop_metric="tracking_fid" is meaningful.)
+            raise ValueError("early_stop_metric requires eval_interval > 0")
         if not hasattr(self, "_fused"):
             self._fused = self._make_fused_step()
         fused = self._fused
@@ -459,7 +458,7 @@ class Trainer:
                         # Fail fast instead of burning steps on a diverged run
                         # (reference's DSBM guard, cfm_module.py:1224-1225).
                         raise ValueError(f"Loss Not Finite at step {step}: {out['loss']}")
-                if cfg.trainer.eval_interval and step % cfg.trainer.eval_interval == 0 and not self.is_image:
+                if cfg.trainer.eval_interval and step % cfg.trainer.eval_interval == 0:
                     ev = self.evaluate()
                     self.logger.log(step, {f"eval/{k}": v for k, v in ev.items()})
                     print("  eval:", {k: round(v, 4) for k, v in ev.items()})
@@ -590,6 +589,32 @@ class Trainer:
         return solver.sdeint(kw, x0, jnp.linspace(0.0, 1.0, n_steps + 1),
                              logqp=logqp, return_trajectory=False)
 
+    def tracking_fid(self, gen: Array) -> Optional[float]:
+        """FID under the fixed random-conv tracking features between generated
+        samples (normalized [-1, 1] floats) and the stashed real/uint8 slice.
+
+        Weight-free, deterministic, monotone-tested (tests/test_fid.py) — the
+        in-training quality curve the reference gets from test-time FID
+        (runner cfm_module.py:474-483) without needing Inception weights. The
+        absolute scale is NOT comparable to Inception FID; only the trend is
+        meaningful. Returns None when no reference images are available.
+        """
+        ref = getattr(self, "_ref_images_u8", None)
+        if ref is None:
+            return None
+        from .eval.fid import batched_features, fid_from_features, make_tracking_feature_fn
+
+        if not hasattr(self, "_tracking_state"):
+            feature_fn = make_tracking_feature_fn(self.cfg.model.image_dim)
+            ref_feats = batched_features(feature_fn, ref)
+            self._tracking_state = (feature_fn, ref_feats)
+        feature_fn, ref_feats = self._tracking_state
+        gen_u8 = np.asarray(
+            jnp.clip((gen + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        )
+        gen_feats = batched_features(feature_fn, gen_u8)
+        return float(fid_from_features(gen_feats, ref_feats))
+
     def evaluate(self, n: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         n = n or cfg.eval.num_eval_samples
@@ -606,6 +631,9 @@ class Trainer:
         if self.is_image:
             out = {"gen_mean": float(jnp.mean(gen)), "gen_std": float(jnp.std(gen)),
                    "nfe": nfe}
+            tfid = self.tracking_fid(gen)
+            if tfid is not None:
+                out["tracking_fid"] = tfid
         else:
             target = two_dim_data(cfg.data.dataset)(kt, n)
             out = {
