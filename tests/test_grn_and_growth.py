@@ -219,3 +219,67 @@ def test_svgd_update_attracts_and_repulses():
     spread_before = float(jnp.var(Xc["x"][:, 0]))
     spread_after = float(jnp.var(Xc["x"][:, 0] + 0.1 * phi0["x"][:, 0]))
     assert spread_after > spread_before
+
+
+def test_bayesian_dist_and_cover_oracle():
+    """Hand-computed posterior over a 4-node graph with one deidentified
+    duplicate (row 3 aliases variable 0 via the -(v+1) encoding): variable 0
+    has out-degree 2 and 1 extra copy, so there are (1+1)^2 = 4 admissible
+    edge-to-copy assignments (reference evaluation.py:45-103)."""
+    from cfm_tpu.eval.graphs import (
+        compare_graph_distribution,
+        compare_graphs_bayesian_cover,
+        compare_graphs_bayesian_dist,
+    )
+
+    true_graph = np.array([
+        [0, 1, 1, 0],
+        [0, 0, 1, 0],
+        [0, 0, 0, 0],
+        [-1, 0, 0, 0],   # alias of variable 0
+    ])
+
+    def G(row0, row3):
+        g = np.zeros((4, 4))
+        g[0], g[3] = row0, row3
+        g[1] = [0, 0, 1, 0]
+        return g
+
+    g_both0 = G([0, 1, 1, 0], [0, 0, 0, 0])     # both edges on the canonical
+    g_split = G([0, 1, 0, 0], [0, 0, 1, 0])     # one edge on each copy
+    g_both3 = G([0, 0, 0, 0], [0, 1, 1, 0])     # both edges on the alias
+    g_wrong = G([0, 1, 0, 0], [0, 0, 0, 0])     # missing an edge
+
+    samples = [g_both0, g_both0, g_split, g_both3, g_wrong]
+    seen, total, uniq, adm, cnt = compare_graphs_bayesian_dist(true_graph, samples)
+    assert (seen, total, uniq) == (3, 4, 3)
+    assert sum(adm.values()) == 4 and sum(cnt.values()) == 5
+    assert max(adm.values()) == 2  # g_both0 seen twice
+    assert compare_graphs_bayesian_cover(true_graph, samples) == 0.75
+
+    kl_unif, prop, kl_prop = compare_graph_distribution(true_graph, samples)
+    np.testing.assert_allclose(kl_unif, np.log2(3) - 1.5, atol=1e-12)
+    np.testing.assert_allclose(sorted(prop), [0.2, 0.2, 0.4], atol=1e-12)
+    np.testing.assert_allclose(kl_prop, 2.0 - (0.4 * np.log2(2.5) + 0.4 * np.log2(5)), atol=1e-9)
+
+    # No aliases: every exact match is the single admissible graph.
+    plain_true = np.maximum(true_graph, 0)[:3, :3]
+    plain = [np.asarray(g)[:3, :3] for g in (g_both0, g_wrong)]
+    seen, total, uniq, adm, cnt = compare_graphs_bayesian_dist(plain_true, plain)
+    assert total == 1 and uniq <= 1
+
+
+def test_bayesian_diversity_and_sparsity():
+    from cfm_tpu.eval.graphs import (
+        compute_graphs_bayesian_diversity,
+        compute_graphs_sparsity,
+    )
+
+    rng = np.random.default_rng(0)
+    graphs = rng.binomial(1, 0.5, (64, 6, 6)).astype(float)
+    div = compute_graphs_bayesian_diversity(graphs, seed=1)
+    assert 0.5 < div < 2.0  # Bernoulli(0.5) posterior ~ unit-normalized
+    same = np.repeat(graphs[:1], 64, axis=0)
+    assert compute_graphs_bayesian_diversity(same, seed=1) == 0.0
+    assert compute_graphs_sparsity(np.zeros((4, 5, 5))) == 1.0
+    assert compute_graphs_sparsity(np.ones((4, 5, 5))) == 0.0
