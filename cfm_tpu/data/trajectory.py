@@ -185,6 +185,88 @@ def load_h5ad_joint_plans(path: str, n_timepoints: int, leaveout: bool = False):
     return plans, straddle
 
 
+def make_joint_plan_sampler(
+    marginals: List[np.ndarray],
+    plans: List[np.ndarray],
+    leaveout_timepoint: int = -1,
+    straddle_plans: Optional[List[np.ndarray]] = None,
+):
+    """Jit-native pair sampler over PRECOMPUTED joint OT plans.
+
+    TPU-first re-design of the reference geodesic datamodule's per-sample
+    host loop (distribution_datamodule.py:190-281 ``HAS_JOINT_PLANS`` +
+    cfm_module.py:180-189: index batches, ``np.random.choice`` per row):
+    plan rows are converted to CDFs once up front, and the returned
+    ``sample(key, batch_size) -> (x0, x1, t_select)`` draws the whole batch
+    inside one traced program — a static python loop over the (few) segments,
+    per-segment uniform row draws and an inverse-CDF column draw
+    (vmapped searchsorted), then a where-select by ``t_select``. No host
+    callbacks, static shapes, jagged per-timepoint sizes allowed.
+
+    With ``leaveout_timepoint`` set (training-time holdout), segment
+    ``leaveout-1`` straddles to ``leaveout+1`` through the corresponding
+    ``straddle_plans`` entry (the reference's ``pi_leaveout``), and
+    ``t_select`` never starts at the left-out timepoint — compose with
+    :func:`leaveout_adjusted_targets` exactly like the solve-per-batch path.
+    """
+    T = len(marginals)
+    data = [jnp.asarray(np.asarray(m), jnp.float32) for m in marginals]
+    dim = data[0].shape[1]
+
+    segs = {}
+    for t in range(T - 1):
+        if t + 1 == leaveout_timepoint and 0 < leaveout_timepoint < T - 1:
+            if straddle_plans is None:
+                raise ValueError(
+                    "leaveout_timepoint set but no straddle_plans given"
+                )
+            pi = np.asarray(straddle_plans[t], np.float64)
+            tgt = t + 2
+        elif t == leaveout_timepoint and 0 < leaveout_timepoint < T - 1:
+            continue  # segments never start at the left-out timepoint
+        else:
+            pi = np.asarray(plans[t], np.float64)
+            tgt = t + 1
+        if pi.shape != (data[t].shape[0], data[tgt].shape[0]):
+            raise ValueError(
+                f"plan {t} has shape {pi.shape}, expected "
+                f"({data[t].shape[0]}, {data[tgt].shape[0]})"
+            )
+        cdf = np.cumsum(pi, axis=1)  # unnormalized row CDFs
+        segs[t] = (data[t], data[tgt], jnp.asarray(cdf, jnp.float32))
+
+    def _draw_cols(cdf_rows: Array, u: Array) -> Array:
+        # Inverse-CDF draw per row; u scaled by the row total handles
+        # unnormalized plans (the reference normalizes each row before
+        # np.random.choice, cfm_module.py:186-188).
+        def one(c, uu):
+            return jnp.searchsorted(c, uu * c[-1], side="right")
+
+        j = jax.vmap(one)(cdf_rows, u)
+        return jnp.clip(j, 0, cdf_rows.shape[1] - 1).astype(jnp.int32)
+
+    def sample(key: Array, batch_size: int):
+        k_t, k_i, k_u = jax.random.split(key, 3)
+        if 0 < leaveout_timepoint < T - 1:
+            t_sel = jax.random.randint(k_t, (batch_size,), 0, T - 2)
+            t_sel = jnp.where(t_sel >= leaveout_timepoint, t_sel + 1, t_sel)
+        else:
+            t_sel = jax.random.randint(k_t, (batch_size,), 0, T - 1)
+        u = jax.random.uniform(k_u, (batch_size,))
+        x0 = jnp.zeros((batch_size, dim), jnp.float32)
+        x1 = jnp.zeros((batch_size, dim), jnp.float32)
+        for t, (x0_data, x1_data, cdf) in segs.items():
+            ki = jax.random.fold_in(k_i, t)
+            i = jax.random.randint(ki, (batch_size,), 0, x0_data.shape[0])
+            j = _draw_cols(cdf[i], u)
+            m = (t_sel == t)[:, None]
+            x0 = jnp.where(m, x0_data[i], x0)
+            x1 = jnp.where(m, x1_data[j], x1)
+        return x0, x1, t_sel
+
+    return sample
+
+
 def cycle_population(key: Array, n: int, T: int = 5, noise: float = 0.05) -> Array:
     """Oscillatory population cycling between two states over time — the
     CycleDataset role (tnet_dataset.py): timepoints alternate phases around a

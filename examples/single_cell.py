@@ -27,8 +27,10 @@ import numpy as np
 from cfm_tpu import ExactOptimalTransportConditionalFlowMatcher
 from cfm_tpu.data.trajectory import (
     leaveout_adjusted_targets,
+    load_h5ad_joint_plans,
     load_h5ad_timeseries,
     load_npz_timeseries,
+    make_joint_plan_sampler,
     resample_to_trajectory,
     sample_segment_pairs,
     tree_population,
@@ -45,12 +47,19 @@ def main() -> None:
     p.add_argument("--h5ad", default=None)
     p.add_argument("--npz", default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n", type=int, default=4096,
+                   help="synthetic population size per timepoint")
     p.add_argument("--dim", type=int, default=5, help="PCA dims to keep")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--leaveout", type=int, default=-1)
     p.add_argument("--sigma", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--joint-plans", action="store_true",
+                   help="train from PRECOMPUTED per-segment OT plans "
+                        "(geodesic datamodule parity: adata.uns['pi_{t}_{t+1}'] "
+                        "from --h5ad, or exact plans solved once up front in "
+                        "synthetic mode) instead of re-solving OT per batch")
     args = p.parse_args()
 
     key = jax.random.PRNGKey(args.seed)
@@ -61,12 +70,39 @@ def main() -> None:
         marginals, times = load_npz_timeseries(args.npz, max_dim=args.dim)
         marginals, _, _ = whiten(marginals)
     else:
-        X = np.asarray(tree_population(key, 4096, T=5, dim=2))
+        X = np.asarray(tree_population(key, args.n, T=5, dim=2))
         marginals = [X[:, t] for t in range(5)]
         times = np.arange(5.0)
     T = len(marginals)
     dim = marginals[0].shape[1]
     print(f"{T} timepoints, dim {dim}, sizes {[m.shape[0] for m in marginals]}")
+
+    plan_sample = None
+    if args.joint_plans:
+        # Geodesic datamodule parity (distribution_datamodule.py:190-281):
+        # pairs come from precomputed joint plans, no per-batch OT solve.
+        if args.h5ad:
+            plans, straddle = load_h5ad_joint_plans(
+                args.h5ad, T, leaveout=args.leaveout > 0
+            )
+        else:
+            from cfm_tpu.coupling import OTPlanSampler
+
+            solver = OTPlanSampler(method="exact")
+            plans = [np.asarray(solver.get_map(jnp.asarray(marginals[t]),
+                                               jnp.asarray(marginals[t + 1])))
+                     for t in range(T - 1)]
+            straddle = (
+                [np.asarray(solver.get_map(jnp.asarray(marginals[t]),
+                                           jnp.asarray(marginals[t + 2])))
+                 for t in range(T - 2)]
+                if args.leaveout > 0 else None
+            )
+            print("solved", len(plans), "joint plans up front (synthetic mode)")
+        plan_sample = make_joint_plan_sampler(
+            marginals, plans, leaveout_timepoint=args.leaveout,
+            straddle_plans=straddle,
+        )
 
     matcher = ExactOptimalTransportConditionalFlowMatcher(sigma=args.sigma)
     model = MLP(dim=dim, w=64)
@@ -81,18 +117,25 @@ def main() -> None:
     # (cfm_module.py:142-263) as one fused function.
     import optax
 
+    # With precomputed joint plans the pairs are already coupled; skip the
+    # matcher's per-batch OT re-solve (path math unchanged).
+    inner = matcher.without_coupling() if plan_sample is not None else matcher
+
     def loss_fn(params, key, X):
         k_seg, k_fm = jax.random.split(key)
-        x0, x1, t_sel = sample_segment_pairs(
-            k_seg, X, leaveout_timepoint=args.leaveout, training=True
-        )
-        t, xt, ut = matcher.sample_location_and_conditional_flow(k_fm, x0, x1)
+        if plan_sample is not None:
+            x0, x1, t_sel = plan_sample(k_seg, args.batch)
+        else:
+            x0, x1, t_sel = sample_segment_pairs(
+                k_seg, X, leaveout_timepoint=args.leaveout, training=True
+            )
+        t, xt, ut = inner.sample_location_and_conditional_flow(k_fm, x0, x1)
         ut, t = leaveout_adjusted_targets(ut, t, t_sel, args.leaveout)
         vt = model.apply(params, t + t_sel, xt)  # net sees global time
         return jnp.mean(jnp.square(vt - ut))
 
     @jax.jit
-    def step(state, key, X):
+    def step(state, key, X=None):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, key, X)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -106,7 +149,8 @@ def main() -> None:
 
     for i in range(args.steps):
         key, kb, ks = jax.random.split(key, 3)
-        X = resample_to_trajectory(kb, marginals, args.batch)
+        X = (resample_to_trajectory(kb, marginals, args.batch)
+             if plan_sample is None else None)
         state, loss = step(state, ks, X)
         if i % max(1, args.steps // 10) == 0:
             print(f"step {i:5d}  loss {float(loss):.4f}")

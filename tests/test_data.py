@@ -155,3 +155,122 @@ def test_eight_normal_sample_layout():
     assert abs(float(x[:, 2:].mean())) < 0.01
     with pytest.raises(ValueError):
         eight_normal_sample(jax.random.PRNGKey(0), 4, dim=1)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed joint-plan (geodesic datamodule) path — VERDICT r3 item 5.
+# Reference: distribution_datamodule.py:190-281 + cfm_module.py:180-189.
+# ---------------------------------------------------------------------------
+
+
+def _perm_plan(n, perm):
+    pi = np.zeros((n, n))
+    pi[np.arange(n), perm] = 1.0 / n
+    return pi
+
+
+def test_joint_plan_sampler_honors_plans():
+    """With permutation plans, every sampled pair must be the plan's pair."""
+    from cfm_tpu.data.trajectory import make_joint_plan_sampler
+
+    rng = np.random.default_rng(0)
+    T, n, d = 3, 8, 2
+    marginals = [rng.normal(size=(n, d)).astype(np.float32) for _ in range(T)]
+    perms = [rng.permutation(n) for _ in range(T - 1)]
+    plans = [_perm_plan(n, p) for p in perms]
+    sample = make_joint_plan_sampler(marginals, plans)
+    x0, x1, t_sel = jax.jit(sample, static_argnums=1)(jax.random.PRNGKey(0), 256)
+    assert x0.shape == (256, d) and t_sel.shape == (256,)
+    x0n, x1n, ts = np.asarray(x0), np.asarray(x1), np.asarray(t_sel)
+    for b in range(256):
+        t = int(ts[b])
+        src = marginals[t]
+        i = int(np.argmin(np.linalg.norm(src - x0n[b], axis=1)))
+        np.testing.assert_allclose(x0n[b], src[i], atol=1e-6)
+        np.testing.assert_allclose(
+            x1n[b], marginals[t + 1][perms[t][i]], atol=1e-6
+        )
+    # Both segments get drawn.
+    assert set(np.unique(ts)) == {0, 1}
+
+
+def test_joint_plan_sampler_weighted_rows():
+    """Non-degenerate plan rows are sampled with the right conditional law."""
+    from cfm_tpu.data.trajectory import make_joint_plan_sampler
+
+    marginals = [np.zeros((1, 1), np.float32),
+                 np.array([[0.0], [1.0], [2.0]], np.float32)]
+    pi = np.array([[0.5, 0.25, 0.25]])
+    sample = make_joint_plan_sampler(marginals, [pi])
+    _, x1, _ = sample(jax.random.PRNGKey(1), 4000)
+    vals, counts = np.unique(np.asarray(x1).ravel(), return_counts=True)
+    freqs = dict(zip(vals.tolist(), (counts / 4000).tolist()))
+    assert abs(freqs[0.0] - 0.5) < 0.05
+    assert abs(freqs[1.0] - 0.25) < 0.05
+    assert abs(freqs[2.0] - 0.25) < 0.05
+
+
+def test_joint_plan_sampler_leaveout_straddle():
+    from cfm_tpu.data.trajectory import make_joint_plan_sampler
+
+    rng = np.random.default_rng(1)
+    T, n = 4, 6
+    marginals = [rng.normal(size=(n, 2)).astype(np.float32) for _ in range(T)]
+    ident = _perm_plan(n, np.arange(n))
+    plans = [ident] * (T - 1)
+    straddle = [_perm_plan(n, np.arange(n))] * (T - 2)
+    sample = make_joint_plan_sampler(
+        marginals, plans, leaveout_timepoint=2, straddle_plans=straddle
+    )
+    x0, x1, t_sel = sample(jax.random.PRNGKey(2), 512)
+    ts = np.asarray(t_sel)
+    assert 2 not in set(np.unique(ts))  # never starts at the left-out point
+    # Segment 1 straddles: its x1 rows come from marginal 3, not marginal 2.
+    x1n = np.asarray(x1)
+    for b in np.where(ts == 1)[0][:32]:
+        d2 = np.linalg.norm(marginals[2] - x1n[b], axis=1).min()
+        d3 = np.linalg.norm(marginals[3] - x1n[b], axis=1).min()
+        assert d3 < 1e-5 and d2 > 1e-3
+
+
+def test_load_h5ad_joint_plans_roundtrip(tmp_path):
+    """End-to-end: write a synthetic .h5ad with uns plans, load, train one
+    segment from the precomputed coupling."""
+    import h5py
+
+    from cfm_tpu.data.trajectory import (
+        load_h5ad_joint_plans,
+        load_h5ad_timeseries,
+        make_joint_plan_sampler,
+    )
+
+    rng = np.random.default_rng(2)
+    T, n, d = 3, 16, 4
+    emb = rng.normal(size=(T * n, d)).astype(np.float32)
+    days = np.repeat(np.arange(T, dtype=np.float64), n)
+    path = str(tmp_path / "toy.h5ad")
+    with h5py.File(path, "w") as f:
+        f.create_group("obsm").create_dataset("X_pca", data=emb)
+        f.create_group("obs").create_dataset("day", data=days)
+        uns = f.create_group("uns")
+        for t in range(T - 1):
+            uns.create_dataset(f"pi_{t}_{t+1}", data=_perm_plan(n, rng.permutation(n)))
+
+    marginals, times = load_h5ad_timeseries(path, max_dim=d)
+    plans, straddle = load_h5ad_joint_plans(path, T)
+    assert straddle is None and len(plans) == T - 1
+    sample = make_joint_plan_sampler(marginals, plans)
+
+    from cfm_tpu import ConditionalFlowMatcher
+    from cfm_tpu.models import MLP
+    from cfm_tpu.train import init_train_state, make_optimizer, make_train_step
+
+    model = MLP(dim=d, w=16)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, d)))
+    opt = make_optimizer(lr=1e-3, warmup_steps=0)
+    state = init_train_state(params, opt)
+    step = jax.jit(make_train_step(ConditionalFlowMatcher(sigma=0.1), model.apply, opt))
+    x0, x1, _ = sample(jax.random.PRNGKey(3), 64)
+    state, metrics = step(state, jax.random.PRNGKey(4), x0, x1)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
