@@ -46,6 +46,26 @@ def _attn_reference(qkv: jax.Array, scale: float) -> jax.Array:
     return jnp.einsum("nhqk,nkhd->nqhd", w, v)
 
 
+# Softmax exp variant, settable for A/B measurement (tools/attn_softmax_bench
+# .py — VERDICT r3 item 7a): "exp" = f32 jnp.exp (default, the numerics the
+# tests pin); "exp2" = exp2(x * log2 e) in f32 (TPU's exp lowers through
+# exp2, so this removes one multiply if the compiler wasn't already folding
+# it); "bf16" = exp evaluated on bf16 inputs (halves exp input width; VPU
+# transcendentals are f32-rate on v5e so this mainly tests conversion cost).
+SOFTMAX_EXP = "exp"
+_LOG2E = 1.4426950408889634
+
+
+def _softmax_unnormalized(logits, m):
+    """exp(logits - m) under the selected SOFTMAX_EXP variant, f32 out."""
+    x = logits - m
+    if SOFTMAX_EXP == "exp2":
+        return jnp.exp2(x * _LOG2E)
+    if SOFTMAX_EXP == "bf16":
+        return jnp.exp(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    return jnp.exp(x)
+
+
 def _fwd_kernel(qkv_ref, o_ref, *, scale, n_heads):
     # qkv_ref block: (1, 3, H, S, D) — (S, D) matrices land on the native
     # (sublane, lane) tiles; loop heads with static indices so the whole
@@ -58,7 +78,7 @@ def _fwd_kernel(qkv_ref, o_ref, *, scale, n_heads):
             preferred_element_type=jnp.float32,
         ) * scale                                         # (S, S)
         m = jnp.max(logits, axis=1, keepdims=True)
-        w = jnp.exp(logits - m)
+        w = _softmax_unnormalized(logits, m)
         denom = jnp.sum(w, axis=1, keepdims=True)
         w = (w / denom).astype(o_ref.dtype)               # softmax, model dtype
         o_ref[0, h] = jax.lax.dot_general(
@@ -77,7 +97,7 @@ def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, scale, n_heads):
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         m = jnp.max(logits, axis=1, keepdims=True)
-        e = jnp.exp(logits - m)
+        e = _softmax_unnormalized(logits, m)
         denom = jnp.sum(e, axis=1, keepdims=True)
         wf = e / denom                                    # f32 softmax
         # Forward casts w to model dtype before the value matmul; mirror that

@@ -7,9 +7,13 @@ Flow_matching_tutorial.ipynb — MLP w64 time-varying, batch 256, Adam 1e-3,
 20k steps), three seeds per matcher, evaluated as exact-assignment W2
 between euler-100 generations and 1024 fresh moons samples.
 
-A matcher regresses if its W2 exceeds mean + 4*std + 0.05 MC margin of the
+A matcher regresses if its W2 exceeds mean + 2*std + 0.05 MC margin of the
 reference distribution (round-1 VERDICT item 9: the quality table must be
-pinned to a reference-derived threshold, not self-referential).
+pinned to a reference-derived threshold, not self-referential; tightened
+from 4*std in round 4 — the old gate admitted a ~2x regression for OT-CFM).
+With the committed 5-seed bands the gate sits within ~0.1 of the worst
+reference seed for every matcher, so it rejects anything the reference
+recipe itself would not produce.
 
 The full 20k-step runs take ~10 min/matcher on CPU, so they are gated
 behind CFM_TPU_SLOW=1 (validated results are committed in
@@ -38,7 +42,7 @@ def band():
 
 
 def threshold(entry) -> float:
-    return entry["mean"] + 4.0 * entry["std"] + MC_MARGIN
+    return entry["mean"] + 2.0 * entry["std"] + MC_MARGIN
 
 
 def test_band_fixture_integrity():
@@ -105,7 +109,7 @@ def test_w2_within_reference_band(kind):
     w2 = _run(kind, steps=e["steps"])
     assert w2 <= threshold(e), (
         f"{kind}: W2={w2:.3f} above reference band "
-        f"(mean {e['mean']:.3f} + 4*std {e['std']:.3f} + {MC_MARGIN})"
+        f"(mean {e['mean']:.3f} + 2*std {e['std']:.3f} + {MC_MARGIN})"
     )
 
 

@@ -474,13 +474,273 @@ plt.show()"""),
 ])
 
 
+# ---------------------------------------------------------------------------
+# 7. Unconditional MNIST
+# ---------------------------------------------------------------------------
+
+MNIST_UNCOND = nb([
+    md("""# Unconditional MNIST with OT-CFM
+
+Counterpart of `examples/images/mnist_example.ipynb`: train the small UNet
+on MNIST with exact-minibatch-OT coupling (solved on device, inside the
+jitted step) and sample a digit grid by Euler integration.
+
+The default settings are a fast CPU-friendly smoke configuration on the
+synthetic fallback set — flip `SYNTHETIC = False` with the MNIST idx files
+under `data/` and raise `STEPS` (2000+) for real digits."""),
+    code("""import jax
+import jax.numpy as jnp
+
+from cfm_tpu.config import load_config
+from cfm_tpu.eval.plotting import image_grid
+from cfm_tpu.trainer import Trainer
+
+SYNTHETIC = True   # flip to False with real MNIST idx files under data/
+STEPS = 30         # smoke default; use 2000+ for real digits
+
+cfg = load_config("mnist_otcfm", [
+    f"trainer.total_steps={STEPS}",
+    "trainer.eval_interval=0",
+    "data.batch_size=64",
+    f"data.synthetic_fallback={SYNTHETIC}",
+    "model.num_channels=16",
+    "trainer.ckpt_dir=results/nb_mnist/checkpoints",
+])
+trainer = Trainer(cfg, log_dir="results/nb_mnist/logs")
+trainer.fit()"""),
+    md("""## Sample a grid
+
+Integrate the learned field from Gaussian noise; `evaluate()` also reports
+the weight-free tracking-FID against a held slice of the train set."""),
+    code("""key = jax.random.PRNGKey(1)
+imgs = trainer.generate(key, 64, method="euler", n_steps=50)
+path = image_grid(imgs, nrow=8, save_path="results/nb_mnist/samples.png")
+print("saved", path)
+print("eval:", trainer.evaluate(n=256))
+
+from IPython.display import Image
+Image(path)"""),
+])
+
+
+# ---------------------------------------------------------------------------
+# 8. Single-cell trajectory interpolation
+# ---------------------------------------------------------------------------
+
+SINGLE_CELL = nb([
+    md("""# Single-cell trajectory interpolation with OT-CFM
+
+Counterpart of the reference `examples/single_cell/single-cell_example.ipynb`:
+interpolate a multi-timepoint population (scRNA embryoid-body style) with
+OT-CFM, hold out an intermediate timepoint, and score the interpolation with
+the distribution-distance suite.
+
+This notebook runs the synthetic branching TREE population so it executes
+anywhere; point `load_h5ad_timeseries` at a real `.h5ad` (obsm `X_pca` +
+`day` labels) for real data — `examples/single_cell.py` is the CLI twin."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+import numpy as np
+
+from cfm_tpu import ExactOptimalTransportConditionalFlowMatcher
+from cfm_tpu.data.trajectory import (
+    leaveout_adjusted_targets,
+    make_joint_plan_sampler,
+    resample_to_trajectory,
+    sample_segment_pairs,
+    tree_population,
+)
+from cfm_tpu.eval.metrics import compute_distribution_distances
+from cfm_tpu.integrate import odeint
+from cfm_tpu.models import MLP
+from cfm_tpu.train import init_train_state, make_optimizer
+
+T, LEAVEOUT = 5, 2
+key = jax.random.PRNGKey(0)
+X = np.asarray(tree_population(key, 1024, T=T, dim=2))
+marginals = [X[:, t] for t in range(T)]
+
+fig, axes = plt.subplots(1, T, figsize=(3 * T, 3), sharex=True, sharey=True)
+for t, ax in enumerate(axes):
+    ax.scatter(marginals[t][:, 0], marginals[t][:, 1], s=2)
+    ax.set_title(f"t = {t}" + ("  (held out)" if t == LEAVEOUT else ""))
+plt.tight_layout(); plt.show()"""),
+    md("""## Train on adjacent-segment pairs
+
+Per sample: draw a random adjacent timepoint pair (never *starting* at the
+held-out timepoint; the pair before it straddles to t+2), OT-couple within
+the segment, regress the segment-local velocity. The straddling segment's
+target halves and its local time doubles (`leaveout_adjusted_targets`)."""),
+    code("""import optax
+
+matcher = ExactOptimalTransportConditionalFlowMatcher(sigma=0.1)
+model = MLP(dim=2, w=64)
+params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+opt = make_optimizer(lr=1e-3, warmup_steps=0)
+state = init_train_state(params, opt)
+
+def loss_fn(params, key, Xb):
+    k_seg, k_fm = jax.random.split(key)
+    x0, x1, t_sel = sample_segment_pairs(
+        k_seg, Xb, leaveout_timepoint=LEAVEOUT, training=True)
+    t, xt, ut = matcher.sample_location_and_conditional_flow(k_fm, x0, x1)
+    ut, t = leaveout_adjusted_targets(ut, t, t_sel, LEAVEOUT)
+    vt = model.apply(params, t + t_sel, xt)   # net sees global time
+    return jnp.mean(jnp.square(vt - ut))
+
+@jax.jit
+def step(state, key, Xb):
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, key, Xb)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    from cfm_tpu.utils import ema_update
+    return state._replace(
+        params=new_params,
+        ema_params=ema_update(state.ema_params, new_params, 0.99),
+        opt_state=opt_state, step=state.step + 1), loss
+
+for i in range(400):
+    key, kb, ks = jax.random.split(key, 3)
+    Xb = resample_to_trajectory(kb, marginals, 256)
+    state, loss = step(state, ks, Xb)
+    if i % 100 == 0:
+        print(f"step {i:4d}  loss {float(loss):.4f}")"""),
+    md("""## Evaluate: roll through every timepoint
+
+Integrate from t=0 marginal through all segments and score each predicted
+marginal — including the held-out one the model never saw."""),
+    code("""def f(t, x):
+    return model.apply(state.ema_params, jnp.full((x.shape[0],), t, x.dtype), x)
+
+x = jnp.asarray(marginals[0])
+preds = []
+for seg in range(T - 1):
+    ts = jnp.linspace(float(seg), float(seg + 1), 51)
+    x = odeint(f, x, ts, method="rk4", return_trajectory=False).final
+    preds.append(x)
+trues = [jnp.asarray(m) for m in marginals[1:]]
+names, vals = compute_distribution_distances(preds, trues)
+for n, v in zip(names, vals):
+    if "Wasserstein" in n:
+        print(f"  {n}: {v:.4f}")
+
+fig, ax = plt.subplots(figsize=(4, 4))
+ax.scatter(marginals[LEAVEOUT][:, 0], marginals[LEAVEOUT][:, 1],
+           s=3, c="grey", alpha=0.5, label="held-out truth")
+p = np.asarray(preds[LEAVEOUT - 1])
+ax.scatter(p[:, 0], p[:, 1], s=3, c="blue", alpha=0.5, label="interpolated")
+ax.legend(); ax.set_title(f"held-out timepoint t={LEAVEOUT}")
+plt.show()"""),
+    md("""## Geodesic variant: precomputed joint plans
+
+The reference's geodesic datamodule trains from plans computed once up
+front (`adata.uns["pi_{t}_{t+1}"]`) instead of re-solving OT per batch.
+`make_joint_plan_sampler` consumes them jit-natively (inverse-CDF pair
+draws). Here the plans are solved once from the synthetic marginals."""),
+    code("""from cfm_tpu.coupling import OTPlanSampler
+
+solver = OTPlanSampler(method="exact")
+plans = [np.asarray(solver.get_map(jnp.asarray(marginals[t]),
+                                   jnp.asarray(marginals[t + 1])))
+         for t in range(T - 1)]
+plan_sample = make_joint_plan_sampler(marginals, plans)
+x0p, x1p, t_sel = plan_sample(jax.random.PRNGKey(3), 512)
+d_plan = float(jnp.mean(jnp.sum((x0p - x1p) ** 2, axis=1)))
+print("mean squared pair distance under the precomputed plans:", round(d_plan, 4))"""),
+])
+
+
+# ---------------------------------------------------------------------------
+# 9. Tabular Forest-Flow
+# ---------------------------------------------------------------------------
+
+TABULAR = nb([
+    md("""# Forest-Flow: flow matching with gradient-boosted trees
+
+Counterpart of the reference `examples/tabular/*.ipynb` (Forest-Flow,
+Jolicoeur-Martineau et al.): learn the I-CFM conditional vector field
+`u_t = x1 - x0` at discretized time levels with a **tree ensemble** instead
+of a neural net, then generate by Euler integration over the per-level
+regressors.
+
+The reference uses XGBoost; this environment ships scikit-learn, whose
+`HistGradientBoostingRegressor` is the same histogram-GBDT family. The
+framework's role is the CFM path construction (`sample_xt`) and the
+evaluation metrics — the trees themselves are host-side by nature."""),
+    code("""import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+import numpy as np
+from sklearn.datasets import load_iris
+from sklearn.ensemble import HistGradientBoostingRegressor
+
+from cfm_tpu import ConditionalFlowMatcher
+from cfm_tpu.coupling import wasserstein
+
+N_T, DUP = 8, 10        # time levels / noise duplications (Forest-Flow K)
+rng = np.random.default_rng(0)
+X = load_iris().data.astype(np.float32)
+mu, sd = X.mean(0), X.std(0) + 1e-8
+X = (X - mu) / sd
+n, d = X.shape
+print(f"iris: {n} rows, {d} dims")"""),
+    md("""## Fit one GBDT per (time level, output dim)
+
+For each level `t_k`, pair every data point with `DUP` noise draws, build
+`x_t` with the matcher's path (`sample_xt`), and regress `u = x1 - x0`."""),
+    code("""FM = ConditionalFlowMatcher(sigma=0.0)
+t_levels = np.linspace(0.0, 1.0, N_T, endpoint=False)
+x1 = np.repeat(X, DUP, axis=0)
+x0 = rng.standard_normal(x1.shape).astype(np.float32)
+
+models = []
+for k, t in enumerate(t_levels):
+    tb = jnp.full((x1.shape[0],), float(t))
+    xt = np.asarray(FM.sample_xt(jnp.asarray(x0), jnp.asarray(x1), tb,
+                                 jnp.zeros_like(jnp.asarray(x0))))
+    ut = x1 - x0
+    models.append([
+        HistGradientBoostingRegressor(max_iter=50, random_state=0).fit(xt, ut[:, j])
+        for j in range(d)
+    ])
+print("fitted", N_T, "levels x", d, "dims")"""),
+    md("""## Generate and evaluate
+
+Euler over the piecewise-constant-in-time forest field, then compare the
+synthetic marginals to the real ones."""),
+    code("""m, steps = 500, 60
+x = rng.standard_normal((m, d)).astype(np.float32)
+dt = 1.0 / steps
+for s in range(steps):
+    t = s * dt
+    k = min(int(t * N_T), N_T - 1)
+    u = np.stack([models[k][j].predict(x) for j in range(d)], axis=1)
+    x = x + dt * u.astype(np.float32)
+
+w2 = float(wasserstein(jnp.asarray(x), jnp.asarray(X), power=2))
+print(f"generated-vs-real W2: {w2:.4f}")
+
+fig, axes = plt.subplots(1, d, figsize=(3 * d, 3))
+for j, ax in enumerate(axes):
+    ax.hist(X[:, j], bins=20, alpha=0.5, density=True, label="real")
+    ax.hist(x[:, j], bins=20, alpha=0.5, density=True, label="forest-flow")
+    ax.set_title(load_iris().feature_names[j], fontsize=8)
+axes[0].legend(fontsize=7)
+plt.tight_layout(); plt.show()"""),
+])
+
+
 NOTEBOOKS = {
     "flow_matching_tutorial.ipynb": FLOW_MATCHING,
     "SF2M_tutorial.ipynb": SF2M,
     "maximum_likelihood_CNF_tutorial.ipynb": CNF,
     "conditional_mnist.ipynb": COND_MNIST,
+    "mnist_example.ipynb": MNIST_UNCOND,
     "minibatch_OT_study.ipynb": OT_STUDY,
     "model_comparison_plotting.ipynb": MODEL_COMPARISON,
+    "single_cell_example.ipynb": SINGLE_CELL,
+    "tabular_forest_flow.ipynb": TABULAR,
 }
 
 
