@@ -65,15 +65,25 @@ class GroupNorm32(nn.Module):
 
     num_groups: int = 32
     fuse_silu: bool = False
+    # return_affine=True returns (out, scale, bias) so a caller fusing GN
+    # into a downstream kernel (ops/pallas_attn_block.py) can read the
+    # affine parameters while keeping this module — and therefore the
+    # checkpoint param tree — unchanged; the unused `out` is DCE'd by XLA.
+    return_affine: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array):
         c = x.shape[-1]
         groups = min(self.num_groups, c)
         while c % groups:  # largest group count <= num_groups dividing c
             groups -= 1
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.return_affine:
+            return self._norm(x, scale, bias, groups), scale, bias
+        return self._norm(x, scale, bias, groups)
+
+    def _norm(self, x: Array, scale: Array, bias: Array, groups: int) -> Array:
 
         # Plain jnp on purpose: XLA fuses the GN chain INTO its producer/
         # consumer ops; hand-written Pallas fwd+bwd GN kernels measured
@@ -221,7 +231,8 @@ class AttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         head_dim = c // heads
 
-        tokens = GroupNorm32()(x).reshape(n, h * w, c)
+        normed, gn_scale, gn_bias = GroupNorm32(return_affine=True)(x)
+        tokens = normed.reshape(n, h * w, c)
 
         # QKV in-projection emits the attention kernel's (N, 3, H, S, D)
         # layout DIRECTLY (and the out-projection consumes (N, H, S, D)):
@@ -244,6 +255,29 @@ class AttentionBlock(nn.Module):
         wo = self.param("proj_kernel", nn.initializers.zeros,
                         (heads, head_dim, c), jnp.float32)
         bo = self.param("proj_bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        # Fully-fused path (round-4): GN + qkv proj + attention + out proj +
+        # residual in ONE Pallas kernel per batch item — measured 24% faster
+        # than the composition's forward at the recipe shape (the (S, C)
+        # token and qkv tensors never round-trip HBM). The composition below
+        # remains the off-TPU path and the numerics oracle; `normed` is
+        # DCE'd by XLA when this branch is taken.
+        from cfm_tpu.ops.pallas_attn_block import fused_attention_block, use_fused_block
+
+        if use_fused_block(h * w, c, heads, x.dtype):
+            groups = min(32, c)
+            while c % groups:
+                groups -= 1
+            y = fused_attention_block(
+                x.reshape(n, h * w, c),
+                gn_scale.reshape(1, c), gn_bias.reshape(1, c),
+                wq.reshape(c, 3 * heads * head_dim),
+                bq.reshape(1, 3 * heads * head_dim),
+                wo.reshape(heads * head_dim, c),
+                bo.reshape(1, c),
+                heads, groups,
+            )
+            return y.reshape(n, h, w, c)
 
         qkv_t = jnp.einsum(
             "nsc,ckhd->nkhsd", tokens.astype(self.dtype), wq.astype(self.dtype)

@@ -615,3 +615,121 @@ def test_encoder_unet_bf16_and_gradients(key):
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in flat)
     assert any(float(jnp.max(jnp.abs(l))) > 0 for l in flat)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused AttentionBlock kernel (ops/pallas_attn_block.py, round 4):
+# the composition path is the numerics oracle — forward AND all gradients.
+# ---------------------------------------------------------------------------
+
+
+def _attn_block_paths(dtype, interpret):
+    """Returns (apply_fused, apply_composed, params, x) on a gate-passing
+    shape (S=256, C=128, heads=2 -> D=64)."""
+    from cfm_tpu.models.unet import AttentionBlock
+    from cfm_tpu.ops import pallas_attn_block as pab
+
+    m = AttentionBlock(num_heads=2, dtype=dtype)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 128), dtype)
+    params = m.init(jax.random.PRNGKey(1), x)["params"]
+    # Randomize the zero-init out-projection so its gradient path is live.
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.05 * jax.random.normal(jax.random.PRNGKey(2), l.shape, l.dtype),
+        params)
+
+    def run(fused):
+        def f(p, xx):
+            # Flags are scoped by the _attn_block_flags fixture/context in
+            # each test (the custom-vjp backward traces AFTER this returns,
+            # so the flag must stay set for the whole grad computation).
+            pab.INTERPRET = interpret
+            pab.ENABLED = fused
+            return m.apply({"params": p}, xx)
+        return f
+
+    return run(True), run(False), params, x
+
+
+class _attn_block_flags:
+    """Restore the pallas_attn_block routing flags on exit."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        from cfm_tpu.ops import pallas_attn_block as pab
+        pab.INTERPRET = False
+        pab.ENABLED = True
+
+
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-4), (jnp.bfloat16, 3e-2)])
+def test_fused_attn_block_interpret_matches_composition(dtype, tol):
+    from cfm_tpu.ops import pallas_attn_block as pab
+
+    fused, composed, params, x = _attn_block_paths(dtype, interpret=True)
+    with _attn_block_flags():
+        _run_attn_block_parity(fused, composed, params, x, tol)
+
+
+def _run_attn_block_parity(fused, composed, params, x, tol):
+    y_f = fused(params, x)
+    y_c = composed(params, x)
+    np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                               np.asarray(y_c, np.float32), atol=tol, rtol=tol)
+
+    def loss(f):
+        def inner(p, xx):
+            return jnp.sum(jnp.sin(f(p, xx).astype(jnp.float32)))
+        return inner
+
+    (gp_f, gx_f) = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    (gp_c, gx_c) = jax.grad(loss(composed), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_f, np.float32),
+                               np.asarray(gx_c, np.float32), atol=tol * 5, rtol=tol * 5)
+    paths_f = jax.tree_util.tree_leaves_with_path(gp_f)
+    paths_c = jax.tree_util.tree_leaves_with_path(gp_c)
+    for (kf, lf), (kc, lc) in zip(paths_f, paths_c):
+        assert jax.tree_util.keystr(kf) == jax.tree_util.keystr(kc)
+        np.testing.assert_allclose(
+            np.asarray(lf, np.float32), np.asarray(lc, np.float32),
+            atol=tol * 10, rtol=tol * 10,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(kf)}",
+        )
+
+
+def test_fused_attn_block_on_tpu():
+    """Hardware run of the fused block kernel fwd+bwd (CFM_TPU_HW=1;
+    interpret mode cannot check Mosaic legality/VMEM).
+
+    Compares Mosaic against the INTERPRETER on the identical kernel — the
+    same function with the same rounding points, so tolerances stay tight.
+    (Cross-path bf16 comparison vs the composition is intentionally NOT
+    asserted on hardware: the two paths round y at different points — the
+    composition rounds the out-projection to bf16 before the residual add —
+    so their bf16 gradients legitimately diverge; the f32 interpret test
+    proves the math against the composition at 2e-4.)"""
+    if jax.default_backend() == "cpu":
+        pytest.skip("fused attention block kernel needs a TPU backend")
+    # f32: Mosaic vs the composition. The math proof is the CPU-interpret
+    # f32 test at 2e-4; on TPU the composition's default-precision einsums
+    # run bf16 MXU passes while the kernel's dot_generals run full f32, so
+    # the cross-path tolerance here covers that precision-config gap and
+    # the assertion validates Mosaic compilation + grad plumbing.
+    fused, composed, params, x = _attn_block_paths(jnp.float32, interpret=False)
+    with _attn_block_flags():
+        _run_attn_block_parity(fused, composed, params, x, 2e-2)
+    # bf16: loose cross-path agreement + finiteness (bf16 grads legitimately
+    # diverge between paths/ULP flips; see the interpret test docstring).
+    fused16, composed16, params16, x16 = _attn_block_paths(jnp.bfloat16,
+                                                           interpret=False)
+    with _attn_block_flags():
+        y_f = fused16(params16, x16)
+        y_c = composed16(params16, x16)
+        np.testing.assert_allclose(np.asarray(y_f, np.float32),
+                                   np.asarray(y_c, np.float32),
+                                   atol=3e-2, rtol=3e-2)
+        g = jax.grad(lambda p, xx: jnp.sum(
+            jnp.sin(fused16(p, xx).astype(jnp.float32))), argnums=(0, 1)
+        )(params16, x16)
+        for l in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(l, np.float32)).all()
