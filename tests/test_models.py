@@ -733,3 +733,45 @@ def test_fused_attn_block_on_tpu():
         )(params16, x16)
         for l in jax.tree_util.tree_leaves(g):
             assert np.isfinite(np.asarray(l, np.float32)).all()
+
+
+def test_encoder_unet_resblock_updown_matches_torch_mirror(key):
+    """resblock_updown + conv_resample=False paths of the encoder (the last
+    unexecuted ResBlock down-resampling branch) vs the torch mirror."""
+    import torch
+    from cfm_tpu.models import EncoderUNetModel
+
+    tm = _torch_mirror()
+    cfg = dict(_ENC_CFG, pool="adaptive", resblock_updown=True,
+               use_scale_shift_norm=True)
+    m = EncoderUNetModel(**cfg)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 8, 8, 3))
+    t = jnp.array([0.4, 0.6])
+    params = _randomize(m.init(jax.random.PRNGKey(0), t, x)["params"], k2)
+    out = m.apply({"params": params}, t, x)
+    ref = tm.encoder_forward(params, cfg, torch.tensor([0.4, 0.6]),
+                             torch.from_numpy(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_unet_resblock_updown_matches_torch_mirror(key):
+    """Full UNet with ResBlock up/down resampling (up path included)."""
+    import torch
+    from cfm_tpu.models import UNetModel
+
+    tm = _torch_mirror()
+    cfg = dict(
+        in_channels=3, model_channels=8, out_channels=3, num_res_blocks=1,
+        attention_resolutions=(2,), channel_mult=(1, 2), num_head_channels=4,
+        resblock_updown=True,
+    )
+    m = UNetModel(**cfg)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (2, 8, 8, 3))
+    t = jnp.array([0.2, 0.8])
+    params = _randomize(m.init(jax.random.PRNGKey(0), t, x)["params"], k2)
+    out = m.apply({"params": params}, t, x)
+    ref = tm.unet_forward(params, cfg, torch.tensor([0.2, 0.8]),
+                          torch.from_numpy(np.asarray(x)))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
