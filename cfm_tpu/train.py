@@ -235,62 +235,87 @@ def make_data_parallel_train_step(
     jit+NamedSharding, GSPMD resolves its mixed shardings by gathering the
     whole subcomputation onto one device ("Involuntary full
     rematerialization ... to {maximal device=0}"), serializing every chip
-    behind device 0. Here the coupling is explicitly pinned to REPLICATED
-    sharding — each chip runs the identical small solve (~0.3 ms at B=128 vs
-    ~45 ms UNet fwd/bwd, so <1% redundant compute) — and only the model
-    fwd/bwd is batch-sharded. The plan solve sees the GLOBAL batch, keeping
-    the reference single-process semantics (train_cifar10.py), unlike the
+    behind device 0. Here the coupling runs REPLICATED — each chip runs the
+    identical small solve (~0.3 ms at B=128 vs ~45 ms UNet fwd/bwd, so <1%
+    redundant compute) — and the model fwd/bwd runs on each chip's slice of
+    the coupled batch. The plan solve sees the GLOBAL batch, keeping the
+    reference single-process semantics (train_cifar10.py), unlike the
     per-shard local-coupling mode (parallel.mesh.local_coupling_step) which
     mirrors DDP's per-rank plans (train_cifar10_ddp.py).
+
+    The whole step executes inside ONE ``shard_map`` (manual mesh axes,
+    round 4): Mosaic/Pallas custom calls (the auction coupling, the fused
+    attention block) have no GSPMD partitioning rule, so under plain
+    jit+NamedSharding the SPMD partitioner would have to replicate or
+    gather around them; in manual mode every kernel sees concrete
+    per-device shapes and lowers exactly as on one chip. Each shard couples
+    the identical global batch with the shared key, slices its own rows,
+    folds the device index into the path-noise key (the reference DDP's
+    per-rank generator, train_cifar10_ddp.py:118), and grads/metrics are
+    pmean'd by the inner step.
     """
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec
 
+    P = PartitionSpec
     coupled = hasattr(matcher, "ot_sampler")
     inner_matcher = matcher.without_coupling() if coupled else matcher
-    inner = make_train_step(inner_matcher, apply_fn, optimizer, **step_kwargs)
-    replicated = NamedSharding(mesh, PartitionSpec())
-    batch_sharded = NamedSharding(mesh, PartitionSpec(data_axis))
-    wsc = jax.lax.with_sharding_constraint
+    inner = make_train_step(inner_matcher, apply_fn, optimizer,
+                            data_axis=data_axis, **step_kwargs)
+    # data_axis may be a tuple for 2-level (DCN x ICI) meshes: the shard
+    # index is the row-major linear index across the named axes.
+    axes = (data_axis,) if isinstance(data_axis, str) else tuple(data_axis)
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
+    replicated = NamedSharding(mesh, P())
 
-    def step_fn(state, key, x0, x1, y0=None, y1=None):
+    def shard_fn(state, key, x0, x1, y0=None, y1=None):
+        idx = jnp.zeros((), jnp.int32)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
         coupling_bad = None
         if coupled:
             kc, key = jax.random.split(key)
-            x0r = wsc(x0, replicated)
-            x1r = wsc(x1, replicated)
             if y0 is not None or y1 is not None:
-                y0r = wsc(y0, replicated) if y0 is not None else None
-                y1r = wsc(y1, replicated) if y1 is not None else None
-                x0c, x1c, y0c, y1c, coupling_bad = (
+                x0, x1, y0, y1, coupling_bad = (
                     matcher.ot_sampler.sample_plan_with_labels(
-                        kc, x0r, x1r, y0r, y1r, return_status=True
+                        kc, x0, x1, y0, y1, return_status=True
                     )
                 )
-                y0 = wsc(y0c, batch_sharded) if y0c is not None else None
-                y1 = wsc(y1c, batch_sharded) if y1c is not None else None
             else:
-                x0c, x1c, coupling_bad = matcher.ot_sampler.sample_plan(
-                    kc, x0r, x1r, return_status=True
+                x0, x1, coupling_bad = matcher.ot_sampler.sample_plan(
+                    kc, x0, x1, return_status=True
                 )
-            x0 = wsc(x0c, batch_sharded)
-            x1 = wsc(x1c, batch_sharded)
-        state, metrics = inner(state, key, x0, x1, y0, y1)
+        shard = x0.shape[0] // n_dev
+
+        def sl(a):
+            return (None if a is None
+                    else jax.lax.dynamic_slice_in_dim(a, idx * shard, shard, 0))
+
+        key = jax.random.fold_in(key, idx)  # per-shard path-noise stream
+        state, metrics = inner(state, key, sl(x0), sl(x1), sl(y0), sl(y1))
         if coupling_bad is not None:
             # Overwrite the inner (uncoupled) matcher's always-False flag
             # with the real global-coupling status.
             metrics["coupling_degenerate"] = coupling_bad.astype(jnp.float32)
         return state, metrics
 
-    jitted = jax.jit(
-        step_fn,
-        in_shardings=(replicated, replicated, batch_sharded, batch_sharded),
-        out_shardings=(replicated, replicated),
-        donate_argnums=(0,),
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        # Inputs arrive replicated: every device holds the full batch (at the
+        # recipe's B=128 images that is 1.5 MB — noise next to the model) and
+        # solves the identical coupling, so no gather precedes the solve.
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
     )
+    jitted = jax.jit(sharded, donate_argnums=(0,))
 
     def step(state, key, x0, x1):
-        x0 = jax.device_put(x0, batch_sharded)
-        x1 = jax.device_put(x1, batch_sharded)
+        x0 = jax.device_put(x0, replicated)
+        x1 = jax.device_put(x1, replicated)
         return jitted(state, key, x0, x1)
 
     return step

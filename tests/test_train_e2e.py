@@ -150,12 +150,17 @@ def test_local_coupling_shard_map_step():
 
 def test_replicated_coupling_data_parallel_step():
     """make_data_parallel_train_step: the global OT coupling runs replicated
-    (every device solves the same plan — no GSPMD gather-to-one-device), the
-    model fwd/bwd is batch-sharded. Loss must match the single-device step
-    bit-for-bit on the same inputs/keys (the coupling and path math are
-    deterministic in the key)."""
+    on every device, the model fwd/bwd runs per-shard INSIDE shard_map
+    (manual mesh axes — Pallas custom calls have no GSPMD partitioning rule,
+    so the whole step lives in manual mode, round 4). The oracle reproduces
+    the exact per-shard decomposition on one device: couple the global batch
+    with kc, then for every shard i fold the device index into the key,
+    compute the inner loss/grads on shard i's rows, average, and apply one
+    optimizer update — parameters and loss must match to float tolerance."""
     if len(jax.devices()) < 2:
         pytest.skip("needs the virtual multi-device mesh")
+    import optax
+
     from cfm_tpu import ExactOptimalTransportConditionalFlowMatcher
     from cfm_tpu.train import make_data_parallel_train_step
 
@@ -168,15 +173,10 @@ def test_replicated_coupling_data_parallel_step():
     n_dev = len(jax.devices())
     batch = 8 * n_dev
 
-    dp_state = init_train_state(params, opt)
+    # Fresh copies: dp_step donates its state, which would delete the param
+    # buffers the oracle below still needs.
+    dp_state = init_train_state(jax.tree.map(jnp.copy, params), opt)
     dp_step = make_data_parallel_train_step(matcher, model.apply, opt, mesh)
-
-    # Single-device oracle doing the SAME decomposition (couple with kc, then
-    # uncoupled step with key) so the PRNG streams line up. Fresh param
-    # copies: dp_step donates its state and would delete shared buffers.
-    sd_state = init_train_state(jax.tree.map(jnp.copy, params), opt)
-    uncoupled = matcher.without_coupling()
-    sd_inner = jax.jit(make_train_step(uncoupled, model.apply, opt))
 
     key, k0, k1, ks = jax.random.split(key, 4)
     x0 = eight_gaussians(k0, batch)
@@ -184,14 +184,41 @@ def test_replicated_coupling_data_parallel_step():
 
     dp_state, dp_metrics = dp_step(dp_state, ks, x0, x1)
 
+    # Oracle: identical PRNG decomposition, single device.
     kc, kstep = jax.random.split(ks)
     x0c, x1c = matcher.ot_sampler.sample_plan(kc, x0, x1)
-    sd_state, sd_metrics = sd_inner(sd_state, kstep, x0c, x1c)
+    uncoupled = matcher.without_coupling()
+
+    def shard_loss(p, skey, xs0, xs1):
+        # make_train_step.loss_fn's exact key discipline.
+        skey, _drop, _sdrop = jax.random.split(skey, 3)
+        t, xt, ut, eps = uncoupled.sample_location_and_conditional_flow(
+            skey, xs0, xs1, return_noise=True
+        )
+        vt = model.apply(p, t, xt)
+        return jnp.mean(jnp.square(vt - ut))
+
+    shard = batch // n_dev
+    losses, grads = [], []
+    for i in range(n_dev):
+        ki = jax.random.fold_in(kstep, i)
+        l, g = jax.value_and_grad(shard_loss)(
+            params, ki, x0c[i * shard:(i + 1) * shard],
+            x1c[i * shard:(i + 1) * shard])
+        losses.append(l)
+        grads.append(g)
+    mean_grads = jax.tree.map(lambda *gs: sum(gs) / n_dev, *grads)
+    sd_state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+    updates, _ = opt.update(mean_grads, sd_state.opt_state, sd_state.params)
+    sd_params = optax.apply_updates(sd_state.params, updates)
 
     assert int(dp_state.step) == 1
     np.testing.assert_allclose(
-        float(dp_metrics["loss"]), float(sd_metrics["loss"]), rtol=1e-5
+        float(dp_metrics["loss"]), float(np.mean(losses)), rtol=1e-5
     )
+    for a, b in zip(jax.tree.leaves(dp_state.params), jax.tree.leaves(sd_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert float(dp_metrics["coupling_degenerate"]) == 0.0
 
 
 def test_without_coupling_preserves_path_math():
