@@ -220,6 +220,69 @@ def make_data_parallel_step(
     return step
 
 
+def make_replicated_coupling_shard_fn(
+    matcher,
+    apply_fn: Callable[..., Array],
+    optimizer: optax.GradientTransformation,
+    mesh: jax.sharding.Mesh,
+    data_axis="data",
+    **step_kwargs,
+) -> Callable:
+    """The manual-mode per-device body behind
+    :func:`make_data_parallel_train_step`: must be called INSIDE a
+    ``shard_map`` over ``data_axis`` with replicated (full-batch) inputs.
+    Couples the identical global batch on every device, slices the local
+    rows, folds the device index into the path-noise key, and runs the
+    uncoupled inner step (which pmeans grads/metrics over ``data_axis``).
+    Exposed so harness-level fused steps (Trainer) can compose data prep +
+    this body inside ONE shard_map — see make_data_parallel_train_step's
+    docstring for why manual mode (Pallas/GSPMD) is required.
+    """
+    coupled = hasattr(matcher, "ot_sampler")
+    inner_matcher = matcher.without_coupling() if coupled else matcher
+    inner = make_train_step(inner_matcher, apply_fn, optimizer,
+                            data_axis=data_axis, **step_kwargs)
+    # data_axis may be a tuple for 2-level (DCN x ICI) meshes: the shard
+    # index is the row-major linear index across the named axes.
+    axes = (data_axis,) if isinstance(data_axis, str) else tuple(data_axis)
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
+
+    def shard_fn(state, key, x0, x1, y0=None, y1=None):
+        idx = jnp.zeros((), jnp.int32)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        coupling_bad = None
+        if coupled:
+            kc, key = jax.random.split(key)
+            if y0 is not None or y1 is not None:
+                x0, x1, y0, y1, coupling_bad = (
+                    matcher.ot_sampler.sample_plan_with_labels(
+                        kc, x0, x1, y0, y1, return_status=True
+                    )
+                )
+            else:
+                x0, x1, coupling_bad = matcher.ot_sampler.sample_plan(
+                    kc, x0, x1, return_status=True
+                )
+        shard = x0.shape[0] // n_dev
+
+        def sl(a):
+            return (None if a is None
+                    else jax.lax.dynamic_slice_in_dim(a, idx * shard, shard, 0))
+
+        key = jax.random.fold_in(key, idx)  # per-shard path-noise stream
+        state, metrics = inner(state, key, sl(x0), sl(x1), sl(y0), sl(y1))
+        if coupling_bad is not None:
+            # Overwrite the inner (uncoupled) matcher's always-False flag
+            # with the real global-coupling status.
+            metrics["coupling_degenerate"] = coupling_bad.astype(jnp.float32)
+        return state, metrics
+
+    return shard_fn
+
+
 def make_data_parallel_train_step(
     matcher,
     apply_fn: Callable[..., Array],
@@ -258,48 +321,10 @@ def make_data_parallel_train_step(
     from jax.sharding import NamedSharding, PartitionSpec
 
     P = PartitionSpec
-    coupled = hasattr(matcher, "ot_sampler")
-    inner_matcher = matcher.without_coupling() if coupled else matcher
-    inner = make_train_step(inner_matcher, apply_fn, optimizer,
-                            data_axis=data_axis, **step_kwargs)
-    # data_axis may be a tuple for 2-level (DCN x ICI) meshes: the shard
-    # index is the row-major linear index across the named axes.
-    axes = (data_axis,) if isinstance(data_axis, str) else tuple(data_axis)
-    n_dev = 1
-    for a in axes:
-        n_dev *= mesh.shape[a]
     replicated = NamedSharding(mesh, P())
-
-    def shard_fn(state, key, x0, x1, y0=None, y1=None):
-        idx = jnp.zeros((), jnp.int32)
-        for a in axes:
-            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
-        coupling_bad = None
-        if coupled:
-            kc, key = jax.random.split(key)
-            if y0 is not None or y1 is not None:
-                x0, x1, y0, y1, coupling_bad = (
-                    matcher.ot_sampler.sample_plan_with_labels(
-                        kc, x0, x1, y0, y1, return_status=True
-                    )
-                )
-            else:
-                x0, x1, coupling_bad = matcher.ot_sampler.sample_plan(
-                    kc, x0, x1, return_status=True
-                )
-        shard = x0.shape[0] // n_dev
-
-        def sl(a):
-            return (None if a is None
-                    else jax.lax.dynamic_slice_in_dim(a, idx * shard, shard, 0))
-
-        key = jax.random.fold_in(key, idx)  # per-shard path-noise stream
-        state, metrics = inner(state, key, sl(x0), sl(x1), sl(y0), sl(y1))
-        if coupling_bad is not None:
-            # Overwrite the inner (uncoupled) matcher's always-False flag
-            # with the real global-coupling status.
-            metrics["coupling_degenerate"] = coupling_bad.astype(jnp.float32)
-        return state, metrics
+    shard_fn = make_replicated_coupling_shard_fn(
+        matcher, apply_fn, optimizer, mesh, data_axis, **step_kwargs
+    )
 
     sharded = shard_map(
         shard_fn,

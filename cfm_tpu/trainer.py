@@ -308,10 +308,48 @@ class Trainer:
         return infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
 
     def _make_fused_step(self):
-        """Wrap the raw step so data prep traces into the same XLA program."""
+        """Wrap the raw step so data prep traces into the same XLA program.
+
+        Data-parallel (self.mesh set): the whole fused step — replicated
+        in-step data prep + the replicated-coupling/per-shard-model core —
+        runs inside ONE ``shard_map`` (manual mesh axes). Pallas custom
+        calls (auction coupling, fused attention block) have no GSPMD
+        partitioning rule, so a plain jit+NamedSharding program would have
+        to replicate or gather around them; in manual mode every kernel
+        sees concrete per-device shapes (see train.make_data_parallel_
+        train_step). Prep is keyed identically on every device, so the
+        global batch is bitwise-identical across shards before slicing.
+        """
         cfg = self.cfg
         bs = cfg.data.batch_size
         base_step = self._raw_step
+
+        if self.mesh is not None:
+            from cfm_tpu.train import make_replicated_coupling_shard_fn
+
+            core = make_replicated_coupling_shard_fn(
+                self.matcher, self.model.apply, self.optimizer, self.mesh,
+                ema_decay=cfg.optim.ema_decay,
+                class_conditional=cfg.model.class_cond,
+                score_apply_fn=self.score_model.apply if self.score_model else None,
+                train_mode=cfg.model.kind == "unet" and cfg.model.dropout > 0,
+            )
+        else:
+            core = None
+
+        def _finalize(fn, n_data):
+            if core is None:
+                return jax.jit(fn, donate_argnums=(0,))
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            sm = shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(), P()) + (P(),) * n_data,
+                out_specs=(P(), P()),
+                check_vma=False,
+            )
+            return jax.jit(sm, donate_argnums=(0,))
 
         if not self.is_image:
             target_gen = two_dim_data(cfg.data.dataset)
@@ -321,9 +359,11 @@ class Trainer:
                 k0, k1, ks = jax.random.split(key, 3)
                 x0 = source_gen(k0, bs)
                 x1 = target_gen(k1, bs)
+                if core is not None:
+                    return core(state, ks, x0, x1)
                 return base_step(state, ks, x0, x1)
 
-            return jax.jit(fused, donate_argnums=(0,))
+            return _finalize(fused, 0)
 
         on_device = getattr(self, "_device_data", None) is not None
 
@@ -335,6 +375,8 @@ class Trainer:
             x0 = jax.random.normal(k0, x1.shape)
             return ks, x0, x1
 
+        step = core if core is not None else base_step
+
         if on_device:
             # Dataset passed as a device-resident argument (zero transfer);
             # batch indices drawn in-step.
@@ -342,40 +384,26 @@ class Trainer:
                 kidx, key = jax.random.split(key)
                 idx = jax.random.randint(kidx, (bs,), 0, dataset.shape[0])
                 ks, x0, x1 = prep(key, dataset[idx])
-                return base_step(state, ks, x0, x1)
+                return step(state, ks, x0, x1)
 
             def fused_cond(state, key, dataset, labels):
                 kidx, key = jax.random.split(key)
                 idx = jax.random.randint(kidx, (bs,), 0, dataset.shape[0])
                 ks, x0, x1 = prep(key, dataset[idx])
                 y = labels[idx]
-                return base_step(state, ks, x0, x1, y, y)
+                return step(state, ks, x0, x1, y, y)
 
         else:
             def fused_uncond(state, key, x1_u8):
                 ks, x0, x1 = prep(key, x1_u8)
-                return base_step(state, ks, x0, x1)
+                return step(state, ks, x0, x1)
 
             def fused_cond(state, key, x1_u8, y):
                 ks, x0, x1 = prep(key, x1_u8)
-                return base_step(state, ks, x0, x1, y, y)
+                return step(state, ks, x0, x1, y, y)
 
         fn = fused_cond if cfg.model.class_cond else fused_uncond
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            rep = NamedSharding(self.mesh, PartitionSpec())
-            # Device-resident datasets replicate (150 MB); streamed uint8
-            # batches shard over the data axis.
-            shd = rep if on_device else NamedSharding(self.mesh, PartitionSpec("data"))
-            n_data = 2 if cfg.model.class_cond else 1
-            return jax.jit(
-                fn,
-                in_shardings=(rep, rep) + (shd,) * n_data,
-                out_shardings=(rep, rep),
-                donate_argnums=(0,),
-            )
-        return jax.jit(fn, donate_argnums=(0,))
+        return _finalize(fn, 2 if cfg.model.class_cond else 1)
 
     # -- training ---------------------------------------------------------
 
@@ -396,7 +424,11 @@ class Trainer:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            batch_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+            # The fused dp step runs inside shard_map with REPLICATED batch
+            # inputs (every device holds the full uint8 batch — 1.5 MB at
+            # B=128 — and prep/coupling run identically before the local
+            # slice), so streamed batches are placed replicated too.
+            batch_sharding = NamedSharding(self.mesh, PartitionSpec())
         else:
             batch_sharding = None
 

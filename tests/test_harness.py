@@ -439,3 +439,31 @@ def test_tracking_fid_in_image_eval_decreases(tmp_path):
     assert jsonl, os.listdir(log_path)
     rows = [json.loads(l) for l in open(os.path.join(log_path, jsonl[0]))]
     assert any("eval/tracking_fid" in r for r in rows)
+
+
+def test_trainer_data_parallel_shard_map(tmp_path):
+    """Trainer data_parallel=True on the spoofed 8-device mesh: the fused
+    step (in-step data prep + replicated coupling + per-shard model) runs
+    inside one shard_map — Pallas custom calls have no GSPMD partitioning
+    rule, so manual mode is the only multi-chip-correct home for them.
+    Covers both the image (streamed + on-device) and 2D branches."""
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+        _pytest.skip("needs the virtual multi-device mesh")
+    for preset, extra in [
+        ("mnist_otcfm", ["model.num_channels=8", "model.num_res_blocks=1",
+                         "model.bf16=False", "data.batch_size=16"]),
+        ("2d_otcfm", ["data.batch_size=32"]),
+    ]:
+        cfg = load_config(preset, [
+            "trainer.total_steps=2",
+            "trainer.log_interval=1",
+            "trainer.eval_interval=0",
+            "trainer.ckpt_interval=0",
+            f"trainer.ckpt_dir={tmp_path}/ckpts_{preset}",
+            "trainer.data_parallel=True",
+        ] + extra)
+        trainer = Trainer(cfg, log_dir=str(tmp_path / f"logs_{preset}"))
+        assert trainer.mesh is not None
+        state = trainer.fit()
+        assert int(state.step) == 2
