@@ -195,14 +195,20 @@ def _vmem_bytes(S: int, C: int, H: int, D: int, itemsize: int) -> int:
 
 
 def use_fused_block(S: int, C: int, n_heads: int, dtype) -> bool:
-    """TPU backend + tile alignment + VMEM budget + group divisibility."""
+    """TPU backend + tile alignment + VMEM budget + group divisibility.
+
+    S (= H*W tokens) only needs sublane alignment (8) at >= 64 — the token
+    matrices' minor dim is C, so 8x8 attention maps (S=64, the reference's
+    multi-resolution ``attention_resolutions="16,8"`` configs) qualify;
+    C must be lane-aligned (128) and D a multiple of 64.
+    """
     if C % n_heads:
         return False
     D = C // n_heads
     groups = min(32, C)
     while C % groups:
         groups -= 1
-    aligned = S % 128 == 0 and D % 64 == 0 and C % 128 == 0
+    aligned = S % 8 == 0 and S >= 64 and D % 64 == 0 and C % 128 == 0
     fits = _vmem_bytes(S, C, n_heads, D, jnp.dtype(dtype).itemsize) <= _VMEM_BUDGET_BYTES
     return ENABLED and aligned and fits and (
         INTERPRET or jax.default_backend() in ("tpu", "axon")

@@ -623,14 +623,14 @@ def test_encoder_unet_bf16_and_gradients(key):
 # ---------------------------------------------------------------------------
 
 
-def _attn_block_paths(dtype, interpret):
+def _attn_block_paths(dtype, interpret, hw=16, c=128):
     """Returns (apply_fused, apply_composed, params, x) on a gate-passing
-    shape (S=256, C=128, heads=2 -> D=64)."""
+    shape (default S=256, C=128, heads=2 -> D=64)."""
     from cfm_tpu.models.unet import AttentionBlock
     from cfm_tpu.ops import pallas_attn_block as pab
 
-    m = AttentionBlock(num_heads=2, dtype=dtype)
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 128), dtype)
+    m = AttentionBlock(num_heads=c // 64, dtype=dtype)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, hw, hw, c), dtype)
     params = m.init(jax.random.PRNGKey(1), x)["params"]
     # Randomize the zero-init out-projection so its gradient path is live.
     params = jax.tree_util.tree_map(
@@ -718,6 +718,13 @@ def test_fused_attn_block_on_tpu():
     fused, composed, params, x = _attn_block_paths(jnp.float32, interpret=False)
     with _attn_block_flags():
         _run_attn_block_parity(fused, composed, params, x, 2e-2)
+    # 8x8 map (S=64): the widened sublane-only S gate, on hardware.
+    fused64, composed64, params64, x64 = _attn_block_paths(
+        jnp.float32, interpret=False, hw=8, c=256)
+    from cfm_tpu.ops import pallas_attn_block as pab
+    assert pab.use_fused_block(64, 256, 4, jnp.float32)
+    with _attn_block_flags():
+        _run_attn_block_parity(fused64, composed64, params64, x64, 2e-2)
     # bf16: loose cross-path agreement + finiteness (bf16 grads legitimately
     # diverge between paths/ULP flips; see the interpret test docstring).
     fused16, composed16, params16, x16 = _attn_block_paths(jnp.bfloat16,
