@@ -362,35 +362,49 @@ def make_data_parallel_sample_fn(
     under DDP, utils_cifar.py:42-73, and the multi-GPU half of the 50k FID
     protocol, compute_fid.py:67-91).
 
-    Params are replicated; the source draw, the whole integration, and the
-    output are sharded on the batch axis — embarrassingly parallel, XLA
-    inserts ZERO collectives, so sampling throughput scales linearly with
-    chips by construction (validated against the single-device program
-    sample-for-sample in tests/test_train_e2e.py).
+    Params are replicated; the integration runs per device on its slice of
+    the batch INSIDE ``shard_map`` (manual mesh axes, round 4 — the Pallas
+    attention kernels have no GSPMD partitioning rule, so auto-sharded jit
+    cannot partition them on real multi-chip hardware). Embarrassingly
+    parallel: zero collectives, so sampling throughput scales linearly with
+    chips by construction. The noise draw is the GLOBAL (n, ...) tensor
+    computed identically on every device and then sliced, which keeps the
+    output sample-for-sample equal to the single-device program (validated
+    in tests/test_train_e2e.py) — the redundant draw is a few MB of RNG.
 
     Returns ``sample(params, key) -> (n, *x_shape)`` final samples.
     """
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec
 
     from .integrate import odeint, vector_field_from_model
 
-    replicated = NamedSharding(mesh, PartitionSpec())
-    sharded = NamedSharding(mesh, PartitionSpec(data_axis))
+    P = PartitionSpec
+    replicated = NamedSharding(mesh, P())
+    n_dev = mesh.shape[data_axis]
+    assert n % n_dev == 0, f"n={n} must divide over {n_dev} devices"
     # Adaptive methods get the 2-point span (they pick their own steps; a
     # dense grid would force a step-clamp restart at every point for tsit5).
     ts = (jnp.array([0.0, 1.0]) if method in ("dopri5", "tsit5")
           else jnp.linspace(0.0, 1.0, n_steps + 1))
 
-    def sample(params, key):
+    def shard_fn(params, key):
+        idx = jax.lax.axis_index(data_axis)
+        shard = n // n_dev
         x0 = jax.random.normal(key, (n,) + tuple(x_shape))
-        x0 = jax.lax.with_sharding_constraint(x0, sharded)
+        x0 = jax.lax.dynamic_slice_in_dim(x0, idx * shard, shard, 0)
         f = vector_field_from_model(apply_fn, params)
         sol = odeint(f, x0, ts, method=method, rtol=rtol, atol=atol,
                      return_trajectory=False)
         return sol.final
 
-    return jax.jit(sample, in_shardings=(replicated, replicated),
-                   out_shardings=sharded)
+    sharded_fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(data_axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded_fn, in_shardings=(replicated, replicated))
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> jax.sharding.Mesh:
