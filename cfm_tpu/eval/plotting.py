@@ -100,3 +100,67 @@ def store_trajectories(traj, path: str):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.save(path, np.asarray(traj))
     return path
+
+
+def _timepoint_scatter(ax, obs):
+    """Timepoint-colored scatter of a population: obs is a list of (n_t, 2)
+    arrays (jagged) or a (bs, T, 2) array — the reference's scprep.scatter2d
+    coloring (plotting.py:101-115) via a plain matplotlib colormap."""
+    if isinstance(obs, (list, tuple)):
+        data = [np.asarray(o) for o in obs]
+        ts = len(data)
+        pts = np.concatenate(data, axis=0)
+        cs = np.concatenate([np.full(len(o), t) for t, o in enumerate(data)])
+    else:
+        arr = np.asarray(obs)
+        bs, ts, _ = arr.shape
+        pts = arr.reshape(-1, arr.shape[-1])
+        cs = np.tile(np.arange(ts), bs)
+    ax.scatter(pts[:, 0], pts[:, 1], s=3, c=cs, cmap="viridis", alpha=0.5)
+    return ts
+
+
+def plot_trajectory(obs, traj, n: int = 200, save_path: Optional[str] = None):
+    """Timepoint-colored population scatter + a precomputed rollout overlay
+    (reference plotting.py:91-125: black flow dots, purple final marker,
+    red example paths)."""
+    plt = _plt()
+    traj = np.asarray(traj)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    _timepoint_scatter(ax, obs)
+    ax.scatter(traj[:, :n, 0], traj[:, :n, 1], s=0.3, alpha=0.2, c="black")
+    ax.scatter(traj[-1, :n, 0], traj[-1, :n, 1], s=6, alpha=1.0, c="purple",
+               marker="x")
+    for i in range(min(20, traj.shape[1])):
+        ax.plot(traj[:, i, 0], traj[:, i, 1], c="red", alpha=0.5)
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig
+
+
+def plot_paths(obs, vector_field: Callable, n: int = 200,
+               save_path: Optional[str] = None):
+    """Like :func:`plot_trajectory` but integrates ``vector_field`` from the
+    first marginal across global time [0, T-1] first (reference
+    plotting.py:128-168, which rolls a torchdyn NeuralODE; here the scan
+    euler integrator with the same >=20-steps-per-segment resolution)."""
+    import jax.numpy as jnp
+
+    from cfm_tpu.integrate import odeint
+
+    start = (np.asarray(obs[0]) if isinstance(obs, (list, tuple))
+             else np.asarray(obs)[:, 0])[:n]
+    ts_count = len(obs) if isinstance(obs, (list, tuple)) else np.asarray(obs).shape[1]
+    span = jnp.linspace(0.0, float(ts_count - 1), max(20 * ts_count, 100))
+    sol = odeint(vector_field, jnp.asarray(start, jnp.float32), span,
+                 method="euler", return_trajectory=True)
+    return plot_trajectory(obs, np.asarray(sol.ys), n=n, save_path=save_path)
+
+
+def plot_samples(images, nrow: int = 10, save_path: Optional[str] = None):
+    """First 100 generated images as a grid (reference plotting.py:171-182's
+    torchvision save_image role — image_grid with the same 10x10 layout)."""
+    return image_grid(np.asarray(images)[:100], nrow=nrow, save_path=save_path)
