@@ -484,6 +484,15 @@ class Trainer:
                     last_log_t, last_log_step = now, step
                     out = {k: float(v) for k, v in metrics.items()}
                     out["steps_per_s"] = sps
+                    # LR at this step from the warmup schedule — the
+                    # reference's Lightning LearningRateMonitor callback
+                    # (runner/configs/callbacks; host-side, no device work).
+                    from cfm_tpu.train import warmup_lr_schedule
+
+                    # step-1: optax saw counts 0..step-1; the LR that produced
+                    # this step's update is schedule(step-1).
+                    out["lr"] = float(warmup_lr_schedule(
+                        cfg.optim.lr, cfg.optim.warmup_steps)(step - 1))
                     self.logger.log(step, out)
                     print(f"step {step:7d}  loss {out['loss']:.4f}  {sps:.2f} steps/s")
                     if not np.isfinite(out["loss"]):

@@ -467,3 +467,20 @@ def test_trainer_data_parallel_shard_map(tmp_path):
         assert trainer.mesh is not None
         state = trainer.fit()
         assert int(state.step) == 2
+
+
+def test_lr_logged_with_warmup(tmp_path):
+    """The metric log carries the scheduled LR (Lightning LearningRateMonitor
+    parity): mid-warmup values ramp linearly toward optim.lr."""
+    import json
+    cfg = _fast_cfg(tmp_path)  # 5 steps
+    cfg.optim.lr = 1e-3
+    cfg.optim.warmup_steps = 10
+    cfg.trainer.log_interval = 1
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs_lr"))
+    trainer.fit()
+    jsonl = [p for p in os.listdir(trainer.logger.log_dir) if p.endswith(".jsonl")]
+    rows = [json.loads(l) for l in open(os.path.join(trainer.logger.log_dir, jsonl[0]))]
+    lrs = {r["step"]: r["lr"] for r in rows if "lr" in r}
+    assert lrs, rows[:2]
+    np.testing.assert_allclose(lrs[5], 1e-3 * 5 / 10, rtol=1e-6)
