@@ -381,3 +381,30 @@ def test_coupling_degenerate_metric_fires_in_jit():
                                         model.apply, opt))
     _, metrics_icfm = step_icfm(init_train_state(params, opt), ks, x0, x1)
     assert float(metrics_icfm["coupling_degenerate"]) == 0.0
+
+
+def test_train_step_deterministic_in_key():
+    """Same key + same state => bitwise-identical metrics and params (the
+    reference's trainer.deterministic analogue, SURVEY §5 — every source of
+    randomness in the fused step is the explicit PRNG key, so reruns are
+    exact; catches any accidental nondeterminism added to the step)."""
+    matcher = ExactOptimalTransportConditionalFlowMatcher(sigma=0.1)
+    model = MLP(dim=2, w=32)
+    key = jax.random.PRNGKey(7)
+    params = model.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    opt = make_optimizer(lr=1e-3, warmup_steps=0)
+    step = jax.jit(make_train_step(matcher, model.apply, opt))
+    k0, k1, ks = jax.random.split(key, 3)
+    x0 = eight_gaussians(k0, 64)
+    x1 = sample_moons(k1, 64)
+
+    outs = []
+    for _ in range(2):
+        state = init_train_state(jax.tree.map(jnp.copy, params), opt)
+        state, metrics = step(state, ks, x0, x1)
+        outs.append((state, metrics))
+    (s1, m1), (s2, m2) = outs
+    np.testing.assert_array_equal(
+        np.asarray(m1["loss"]), np.asarray(m2["loss"]))
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
