@@ -101,6 +101,21 @@ class TrainerConfig:
     early_stop_metric: str = ""
     early_stop_patience: int = 3
     early_stop_min_delta: float = 0.0
+    # Debugging aids (the reference's debug config group, runner/configs/
+    # debug/*.yaml — composed via the `debug=<mode>` override, see
+    # apply_debug below):
+    # Cycle the DATA draws through a fixed pool of N batches instead of fresh
+    # i.i.d. draws (Lightning's trainer.overfit_batches, debug/overfit.yaml:
+    # "overfits to 3 batches"). Noise/t/dropout randomness stays fresh —
+    # only the data repeats, matching Lightning's dataloader-level reuse.
+    overfit_batches: int = 0
+    # Write a jax xplane profile of the whole fit() under this directory
+    # (the reference's trainer.profiler, debug/profiler.yaml). "" = off.
+    profile_dir: str = ""
+    # Raise on the first NaN produced by any jitted op (jax_debug_nans) —
+    # the reference's trainer.detect_anomaly (debug/default.yaml:34).
+    # Restored to its previous value when fit() returns.
+    debug_nans: bool = False
 
 
 @dataclass
@@ -214,6 +229,66 @@ def available_presets() -> List[str]:
     return sorted(_PRESETS)
 
 
+# --------------------------------------------------------------------------
+# Debug overlays — the reference's debug config group
+# (runner/configs/debug/{default,fdr,limit,overfit,profiler}.yaml), composed
+# on the command line as `debug=<mode>` exactly like Hydra's group override.
+# --------------------------------------------------------------------------
+
+DEBUG_MODES = ("default", "fdr", "limit", "overfit", "profiler")
+
+
+def apply_debug(cfg: Config, mode: str) -> Config:
+    """Apply a debug overlay in place (and return cfg for chaining).
+
+    Mapping from the reference's epoch-based Lightning knobs to this
+    framework's step budget:
+
+    - every mode: run name prefixed ``debug_`` (separate log/ckpt folders —
+      the reference's ``task_name: "debug"``) and NaN detection on
+      (``detect_anomaly: true`` -> ``jax_debug_nans``), except under the
+      profiler where op-by-op NaN re-execution would destroy the trace.
+    - ``default``: one short run (<=100 steps; reference: 1 epoch).
+    - ``fdr``: 1 train step + 1 eval (reference fast_dev_run: 1 train/val/
+      test step).
+    - ``limit``: 1% of the step budget (reference limit_train_batches: 0.01).
+    - ``overfit``: cycle 3 fixed data batches, eval/early-stop disabled
+      (reference overfit_batches: 3, callbacks: null).
+    - ``profiler``: xplane trace of the fit into logs/profile_<name>
+      (reference trainer.profiler: "simple").
+    """
+    if mode not in DEBUG_MODES:
+        raise ValueError(f"Unknown debug mode {mode!r}; one of {DEBUG_MODES}")
+    t = cfg.trainer
+    cfg.name = f"debug_{cfg.name}"
+    t.debug_nans = True
+    if mode == "default":
+        t.total_steps = min(t.total_steps, 100)
+        t.eval_interval = min(t.eval_interval, t.total_steps) if t.eval_interval else 0
+        t.log_interval = min(t.log_interval, max(t.total_steps // 4, 1))
+    elif mode == "fdr":
+        t.total_steps = 1
+        t.eval_interval = 1
+        t.log_interval = 1
+    elif mode == "limit":
+        t.total_steps = max(t.total_steps // 100, 1)
+        t.eval_interval = min(t.eval_interval, t.total_steps) if t.eval_interval else 0
+        t.log_interval = min(t.log_interval, max(t.total_steps // 10, 1))
+    elif mode == "overfit":
+        t.overfit_batches = 3
+        t.total_steps = min(t.total_steps, 2000)
+        t.eval_interval = 0          # reference: callbacks disabled
+        t.early_stop_metric = ""
+        t.log_interval = min(t.log_interval, max(t.total_steps // 10, 1))
+    elif mode == "profiler":
+        t.debug_nans = False         # op-by-op NaN checks would poison the trace
+        t.total_steps = min(t.total_steps, 100)
+        t.eval_interval = 0
+        t.log_interval = min(t.log_interval, max(t.total_steps // 4, 1))
+        t.profile_dir = f"logs/profile_{cfg.name}"
+    return cfg
+
+
 def load_config(preset: Optional[str] = None, overrides: Sequence[str] = ()) -> Config:
     """Compose a preset (or a YAML config file) with ``key.path=value`` overrides.
 
@@ -229,11 +304,20 @@ def load_config(preset: Optional[str] = None, overrides: Sequence[str] = ()) -> 
         cfg = _load_yaml_config(preset)
     else:
         cfg = _PRESETS[preset]() if preset else Config()
+    # `debug=<mode>` is a group override (Hydra `debug=fdr`): the overlay
+    # applies before the remaining dotted overrides, so explicit keys still
+    # win (e.g. `debug=overfit trainer.total_steps=50`).
+    rest = []
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"Override must be key=value, got {ov!r}")
         path, raw = ov.split("=", 1)
-        _apply_override(cfg, path.strip(), raw.strip())
+        if path.strip() == "debug":
+            apply_debug(cfg, raw.strip())
+        else:
+            rest.append((path.strip(), raw.strip()))
+    for path, raw in rest:
+        _apply_override(cfg, path, raw)
     return cfg
 
 
@@ -257,7 +341,10 @@ def _load_yaml_config(path: str) -> Config:
     if not isinstance(doc, dict):
         raise ValueError(f"YAML config must be a mapping, got {type(doc).__name__}")
     base = doc.pop("preset", None)
+    debug_mode = doc.pop("debug", None)
     cfg = _PRESETS[base]() if base else Config()
+    if debug_mode:
+        apply_debug(cfg, str(debug_mode))
     for dotted, value in _flatten(doc):
         _apply_value(cfg, dotted, value)
     return cfg

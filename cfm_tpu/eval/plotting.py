@@ -164,3 +164,27 @@ def plot_samples(images, nrow: int = 10, save_path: Optional[str] = None):
     """First 100 generated images as a grid (reference plotting.py:171-182's
     torchvision save_image role — image_grid with the same 10x10 layout)."""
     return image_grid(np.asarray(images)[:100], nrow=nrow, save_path=save_path)
+
+
+def plot_graph_dist(graph_mean, graph_thresh, graph_std, ground_truth,
+                    save_path: Optional[str] = None):
+    """Posterior-graph diagnostic panel for GRN runs: ground truth vs the
+    posterior mean, thresholded, and per-edge std adjacency heatmaps
+    (reference runner/src/models/components/utils.py:25-46 plot_graph_dist —
+    same four panels with shared viridis colormaps). Inputs are (d, d)
+    adjacency arrays, e.g. from ``models.grn`` Bayesian/ensemble posteriors
+    via ``eval.graphs`` summaries."""
+    plt = _plt()
+    panels = [("Ground Truth", ground_truth), ("Graph means", graph_mean),
+              ("Graph post-threshold", graph_thresh), ("Graph std", graph_std)]
+    fig, axs = plt.subplots(1, 4, figsize=(13, 4.5))
+    for ax, (title, g) in zip(axs, panels):
+        ax.set_title(title)
+        pcm = ax.matshow(np.asarray(g), cmap="viridis")
+        fig.colorbar(pcm, ax=ax)
+    if save_path:
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig

@@ -97,6 +97,21 @@ _2D_SETS = {"moons", "moon", "8gaussians", "pinwheel", "checkerboard", "checker"
             "mixture", "gaussian"}
 
 
+def _overfit_key(seed: int, salt: int, step, n_batches: int):
+    """Deterministic data-draw key that cycles with period ``n_batches``.
+
+    Implements trainer.overfit_batches (the reference's debug/overfit.yaml ->
+    Lightning ``overfit_batches: 3``): step k re-draws the data of batch
+    ``k % n``, so the run sees a fixed pool of n batches. Only DATA keys are
+    cycled — noise/t/dropout keys stay fresh, matching Lightning's
+    dataloader-level reuse (augment transforms there also re-run per epoch).
+    ``step`` may be a traced int32 (it is ``state.step`` inside the jitted
+    fused step).
+    """
+    base = jax.random.fold_in(jax.random.PRNGKey(seed), salt)
+    return jax.random.fold_in(base, step % n_batches)
+
+
 class MetricLogger:
     """CSV + JSONL + stdout metric logging.
 
@@ -305,7 +320,15 @@ class Trainer:
                 jax.device_put(jnp.asarray(labels)) if cfg.model.class_cond else None
             )
             return None
-        return infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
+        it = infinite_batches(data, labels, bs, seed=cfg.trainer.seed)
+        if cfg.trainer.overfit_batches:
+            # Host-streaming analogue of the overfit cycle: replay the first
+            # N batches forever (Lightning overfit_batches semantics).
+            import itertools
+
+            pool = [next(it) for _ in range(cfg.trainer.overfit_batches)]
+            return itertools.cycle(pool)
+        return it
 
     def _make_fused_step(self):
         """Wrap the raw step so data prep traces into the same XLA program.
@@ -351,12 +374,18 @@ class Trainer:
             )
             return jax.jit(sm, donate_argnums=(0,))
 
+        ov = cfg.trainer.overfit_batches
+        seed = cfg.trainer.seed
+
         if not self.is_image:
             target_gen = two_dim_data(cfg.data.dataset)
             source_gen = two_dim_data(cfg.data.source)
 
             def fused(state, key):
                 k0, k1, ks = jax.random.split(key, 3)
+                if ov:
+                    k0 = _overfit_key(seed, 0, state.step, ov)
+                    k1 = _overfit_key(seed, 1, state.step, ov)
                 x0 = source_gen(k0, bs)
                 x1 = target_gen(k1, bs)
                 if core is not None:
@@ -380,15 +409,18 @@ class Trainer:
         if on_device:
             # Dataset passed as a device-resident argument (zero transfer);
             # batch indices drawn in-step.
+            def _idx_key(state, kidx):
+                return _overfit_key(seed, 2, state.step, ov) if ov else kidx
+
             def fused_uncond(state, key, dataset):
                 kidx, key = jax.random.split(key)
-                idx = jax.random.randint(kidx, (bs,), 0, dataset.shape[0])
+                idx = jax.random.randint(_idx_key(state, kidx), (bs,), 0, dataset.shape[0])
                 ks, x0, x1 = prep(key, dataset[idx])
                 return step(state, ks, x0, x1)
 
             def fused_cond(state, key, dataset, labels):
                 kidx, key = jax.random.split(key)
-                idx = jax.random.randint(kidx, (bs,), 0, dataset.shape[0])
+                idx = jax.random.randint(_idx_key(state, kidx), (bs,), 0, dataset.shape[0])
                 ks, x0, x1 = prep(key, dataset[idx])
                 y = labels[idx]
                 return step(state, ks, x0, x1, y, y)
@@ -453,6 +485,16 @@ class Trainer:
         on_device = getattr(self, "_device_data", None) is not None
         streaming = self.is_image and not on_device
         prefetched = put(next(self._batches)) if streaming else None
+        # Debug-group hooks (reference runner/configs/debug/*.yaml): NaN
+        # anomaly detection and the xplane fit profile. Both are scoped to
+        # this fit() call — restored/stopped in the finally below.
+        prev_debug_nans = None
+        if cfg.trainer.debug_nans:
+            prev_debug_nans = bool(jax.config.jax_debug_nans)
+            jax.config.update("jax_debug_nans", True)
+        if cfg.trainer.profile_dir:
+            jax.profiler.start_trace(cfg.trainer.profile_dir)
+
         t0 = time.perf_counter()
         last_log_t, last_log_step = t0, start
         step = start
@@ -547,6 +589,14 @@ class Trainer:
                 # every iteration (a full tunnel round-trip on axon).
                 self.ckpt.save(self.state, step=step)
         finally:
+            if cfg.trainer.profile_dir:
+                try:
+                    jax.profiler.stop_trace()
+                    print(f"xplane profile written under {cfg.trainer.profile_dir}")
+                except RuntimeError:
+                    pass  # trace already stopped (e.g. start failed)
+            if prev_debug_nans is not None:
+                jax.config.update("jax_debug_nans", prev_debug_nans)
             # Per-task execution time file (the reference's task_wrapper writes
             # exec_time.log for multirun bookkeeping,
             # runner/src/utils/utils.py:43-45). In the finally so early exits

@@ -484,3 +484,150 @@ def test_lr_logged_with_warmup(tmp_path):
     lrs = {r["step"]: r["lr"] for r in rows if "lr" in r}
     assert lrs, rows[:2]
     np.testing.assert_allclose(lrs[5], 1e-3 * 5 / 10, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Debug config group (reference runner/configs/debug/*.yaml)
+# ---------------------------------------------------------------------------
+
+
+def test_debug_group_overlays(tmp_path):
+    """`debug=<mode>` composes like the reference's Hydra debug group."""
+    from cfm_tpu.config import DEBUG_MODES
+
+    cfg = load_config("2d_otcfm", ["debug=fdr"])
+    assert cfg.name == "debug_2d_otcfm"
+    assert cfg.trainer.total_steps == 1
+    assert cfg.trainer.eval_interval == 1
+    assert cfg.trainer.debug_nans
+
+    cfg = load_config("cifar10_otcfm", ["debug=limit"])
+    assert cfg.trainer.total_steps == 400001 // 100
+
+    cfg = load_config("2d_otcfm", ["debug=overfit"])
+    assert cfg.trainer.overfit_batches == 3
+    assert cfg.trainer.eval_interval == 0
+
+    cfg = load_config("2d_otcfm", ["debug=profiler"])
+    assert cfg.trainer.profile_dir
+    assert not cfg.trainer.debug_nans  # would poison the trace
+
+    # Explicit dotted overrides win over the overlay regardless of order.
+    cfg = load_config("2d_otcfm", ["trainer.total_steps=7", "debug=fdr"])
+    assert cfg.trainer.total_steps == 7
+
+    with pytest.raises(ValueError):
+        load_config("2d_otcfm", ["debug=nope"])
+    assert set(DEBUG_MODES) == {"default", "fdr", "limit", "overfit", "profiler"}
+
+    # YAML tier carries the group too (top-level `debug:` key).
+    p = tmp_path / "dbg.yaml"
+    p.write_text("preset: 2d_icfm\ndebug: fdr\n")
+    cfg = load_config(str(p))
+    assert cfg.name == "debug_2d_icfm" and cfg.trainer.total_steps == 1
+
+
+def test_debug_fdr_runs_and_restores_nan_flag(tmp_path):
+    """debug=fdr trains 1 step + 1 eval with jax_debug_nans scoped to fit()."""
+    cfg = load_config("2d_icfm", [
+        "debug=fdr",
+        f"trainer.ckpt_dir={tmp_path}/ckpts",
+        "data.batch_size=32",
+        "eval.num_eval_samples=64",
+        "eval.ode_steps=5",
+    ])
+    assert not jax.config.jax_debug_nans
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    state = trainer.fit()
+    assert int(state.step) == 1
+    assert not jax.config.jax_debug_nans  # restored after fit
+    ev_rows = [p for p in os.listdir(trainer.logger.log_dir) if p.endswith(".jsonl")]
+    assert ev_rows
+
+
+def test_debug_profiler_writes_xplane(tmp_path):
+    """debug=profiler produces an xplane trace of the fit."""
+    import glob
+
+    prof_dir = str(tmp_path / "prof")
+    cfg = load_config("2d_icfm", [
+        "debug=profiler",
+        f"trainer.profile_dir={prof_dir}",
+        "trainer.total_steps=2",
+        f"trainer.ckpt_dir={tmp_path}/ckpts",
+        "data.batch_size=32",
+    ])
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    trainer.fit()
+    traces = glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"), recursive=True)
+    assert traces, f"no xplane trace under {prof_dir}"
+
+
+def test_overfit_key_cycles():
+    """The overfit data key repeats with period n and differs within it."""
+    from cfm_tpu.trainer import _overfit_key
+
+    k0 = _overfit_key(0, 1, 0, 3)
+    k3 = _overfit_key(0, 1, 3, 3)
+    k1 = _overfit_key(0, 1, 1, 3)
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k3))
+    assert not np.array_equal(np.asarray(k0), np.asarray(k1))
+    # Different salts (source vs target vs image-index) decorrelate.
+    assert not np.array_equal(
+        np.asarray(_overfit_key(0, 0, 0, 3)), np.asarray(_overfit_key(0, 1, 0, 3))
+    )
+
+
+def _data_checksums_over_steps(tmp_path, tag, preset, extra, n_steps=3):
+    """Run fit() with the raw train step stubbed to report the data batch
+    checksum each step; returns the per-step (x0_sum, x1_sum) sequence."""
+    import json
+
+    cfg = load_config(preset, [
+        "data.batch_size=16",
+        f"trainer.total_steps={n_steps}",
+        "trainer.log_interval=1",
+        "trainer.eval_interval=0",
+        "trainer.ckpt_interval=0",
+        "trainer.data_parallel=False",
+        f"trainer.ckpt_dir={tmp_path}/ckpts_{tag}",
+        *extra,
+    ])
+    trainer = Trainer(cfg, log_dir=str(tmp_path / f"logs_{tag}"))
+
+    def probe_step(state, key, x0, x1, *rest):
+        metrics = {"loss": jnp.float32(0.0),
+                   "x0_sum": jnp.sum(x0.astype(jnp.float32)),
+                   "x1_sum": jnp.sum(x1.astype(jnp.float32))}
+        return state._replace(step=state.step + 1), metrics
+
+    trainer._raw_step = probe_step  # before _make_fused_step runs
+    trainer.fit()
+    rows = [json.loads(l) for l in open(trainer.logger.jsonl_path)]
+    return [(r["x0_sum"], r["x1_sum"]) for r in rows if "x1_sum" in r]
+
+
+def test_overfit_repeats_data_2d(tmp_path):
+    """overfit_batches=1 feeds the SAME data batch every step (2D generator
+    path); without it, draws are fresh i.i.d. — the Lightning
+    overfit_batches contract (reference debug/overfit.yaml)."""
+    ov = _data_checksums_over_steps(
+        tmp_path, "ov2d", "2d_icfm", ["trainer.overfit_batches=1"])
+    iid = _data_checksums_over_steps(tmp_path, "iid2d", "2d_icfm", [])
+    assert len(ov) == 3 and len(iid) == 3
+    assert ov[0] == ov[1] == ov[2], ov
+    assert len({t[1] for t in iid}) == 3, iid
+
+
+def test_overfit_repeats_data_image(tmp_path):
+    """Same contract on the on-device image path: the gathered uint8 batch
+    (x1 before augmentation) cycles; the noise source x0 stays fresh."""
+    extra = ["model.num_channels=8", "model.num_res_blocks=1",
+             "model.bf16=False", "data.random_flip=False"]
+    ov = _data_checksums_over_steps(
+        tmp_path, "ovim", "mnist_icfm", extra + ["trainer.overfit_batches=1"])
+    iid = _data_checksums_over_steps(tmp_path, "iidim", "mnist_icfm", extra)
+    x1s = [t[1] for t in ov]
+    assert x1s[0] == x1s[1] == x1s[2], ov          # data cycles
+    assert len({t[0] for t in ov}) == 3, ov        # noise stays fresh
+    assert len({t[1] for t in iid}) == 3, iid

@@ -10,6 +10,7 @@ import numpy as np
 
 from cfm_tpu.eval.plotting import (
     image_grid,
+    plot_graph_dist,
     plot_paths,
     plot_samples,
     plot_scatter_and_flow,
@@ -52,3 +53,11 @@ def test_all_plotting_surfaces(tmp_path):
     store_trajectories(traj, str(tmp_path / "trajs.npy"))
     back = np.load(tmp_path / "trajs.npy")
     np.testing.assert_array_equal(back, traj)
+
+    # GRN posterior-graph panel (reference components/utils.py:25-46).
+    d = 5
+    post = rng.uniform(size=(10, d, d)).astype(np.float32)
+    p = plot_graph_dist(post.mean(0), (post.mean(0) > 0.5).astype(np.float32),
+                        post.std(0), (rng.uniform(size=(d, d)) > 0.7),
+                        save_path=str(tmp_path / "graph_dist.png"))
+    assert os.path.exists(p)
