@@ -60,6 +60,10 @@ class MatcherConfig:
 class DataConfig:
     dataset: str = "moons"           # 2d generator name | cifar10 | mnist
     source: str = "8gaussians"       # source distribution (2d) | "gaussian"
+    # Sample dimensionality for dimension-aware vector generators
+    # (funnel/gaussian — the reference's TorchDynDataModule system_kwargs
+    # {dim: N}, configs/datamodule/funnel.yaml). 0 = the generator default.
+    dim: int = 0
     data_dir: str = "data"
     batch_size: int = 256
     synthetic_fallback: bool = True  # fake images when no dataset on disk

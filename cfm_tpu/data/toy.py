@@ -152,8 +152,16 @@ def gaussian_mixture(
     return means[comp] + math.sqrt(var) * jax.random.normal(k2, (n, 2))
 
 
-def gaussian(key: Array, n: int, std: float = 1.0) -> Array:
-    return std * jax.random.normal(key, (n, 2))
+def gaussian(key: Array, n: int, std: float = 1.0, dim: int = 2) -> Array:
+    return std * jax.random.normal(key, (n, dim))
+
+
+def funnel(key: Array, n: int, dim: int = 10) -> Array:
+    """Neal's funnel: x0 ~ N(0,1), x_{1:} ~ N(0, exp(x0)) — the reference's
+    d-dimensional CNF test target (distribution_datamodule.py:488-491,
+    configs/datamodule/funnel.yaml: dim 10)."""
+    x = jax.random.normal(key, (n, dim))
+    return x.at[:, 1:].multiply(jnp.exp(x[:, :1] / 2.0))
 
 
 _REGISTRY: Dict[str, Callable[[Array, int], Array]] = {
@@ -171,15 +179,30 @@ _REGISTRY: Dict[str, Callable[[Array, int], Array]] = {
     "scurve": scurve,
     "mixture": gaussian_mixture,
     "gaussian": gaussian,
+    "funnel": funnel,
 }
 
+# Generators that take a ``dim`` keyword (the rest are intrinsically 2-D).
+_DIM_AWARE = {"gaussian", "funnel"}
 
-def two_dim_data(name: str) -> Callable[[Array, int], Array]:
-    """Look up a generator by name (parity with two_dim.py ``data_distrib``)."""
+
+def two_dim_data(name: str, dim: int = 0) -> Callable[[Array, int], Array]:
+    """Look up a generator by name (parity with two_dim.py ``data_distrib``).
+
+    ``dim`` > 0 pins the sample dimensionality for dimension-aware
+    generators (``funnel``/``gaussian`` — the reference's TorchDynDataModule
+    ``system_kwargs: {dim: 10}``, configs/datamodule/funnel.yaml); 2-D-only
+    generators reject any other value rather than silently ignoring it.
+    """
     try:
-        return _REGISTRY[name]
+        gen = _REGISTRY[name]
     except KeyError:
         raise ValueError(f"Unknown 2D dataset: {name!r}; have {sorted(_REGISTRY)}")
+    if dim and name in _DIM_AWARE:
+        return lambda key, n, _g=gen, _d=dim: _g(key, n, dim=_d)
+    if dim and dim != 2:
+        raise ValueError(f"{name!r} is a 2-D generator; got dim={dim}")
+    return gen
 
 
 def blobs(key: Array, n: int, n_centers: int = 3, std: float = 0.5) -> Array:

@@ -69,7 +69,10 @@ def build_matcher(cfg: Config):
 def build_model(cfg: Config):
     m = cfg.model
     if m.kind == "mlp":
-        dim = 2 if cfg.data.dataset in _2D_SETS else int(np.prod(m.image_dim))
+        if cfg.data.dataset in _2D_SETS:
+            dim = _vector_dim(cfg) or 2
+        else:
+            dim = int(np.prod(m.image_dim))
         return MLP(dim=dim, w=m.width)
     if m.kind == "unet":
         return UNetModelWrapper(
@@ -92,9 +95,19 @@ def build_model(cfg: Config):
     raise ValueError(f"Unknown model kind: {m.kind}")
 
 
+
+def _vector_dim(cfg) -> int:
+    """Effective sample dim for the vector (non-image) path: data.dim if set,
+    else funnel's reference default 10 (configs/datamodule/funnel.yaml), else
+    0 (generator default, 2-D). Applied to BOTH target and source generators
+    so a funnel target always gets a matching-dim gaussian source."""
+    if cfg.data.dim:
+        return cfg.data.dim
+    return 10 if cfg.data.dataset == "funnel" else 0
+
 _2D_SETS = {"moons", "moon", "8gaussians", "pinwheel", "checkerboard", "checker",
             "circles", "circle", "2spirals", "swiss", "swissroll", "scurve",
-            "mixture", "gaussian"}
+            "mixture", "gaussian", "funnel"}
 
 
 def _overfit_key(seed: int, salt: int, step, n_batches: int):
@@ -196,7 +209,7 @@ class Trainer:
             h, w, c = cfg.model.image_dim
             dummy_x = jnp.zeros((2, h, w, c))
         else:
-            dummy_x = jnp.zeros((2, 2))
+            dummy_x = jnp.zeros((2, _vector_dim(cfg) or 2))
         dummy_t = jnp.zeros((2,))
         if cfg.model.class_cond:
             params = self.model.init(init_key, dummy_t, dummy_x, jnp.zeros((2,), jnp.int32))
@@ -378,8 +391,8 @@ class Trainer:
         seed = cfg.trainer.seed
 
         if not self.is_image:
-            target_gen = two_dim_data(cfg.data.dataset)
-            source_gen = two_dim_data(cfg.data.source)
+            target_gen = two_dim_data(cfg.data.dataset, _vector_dim(cfg))
+            source_gen = two_dim_data(cfg.data.source, _vector_dim(cfg))
 
             def fused(state, key):
                 k0, k1, ks = jax.random.split(key, 3)
@@ -640,7 +653,7 @@ class Trainer:
             self._gen_cache = {}
         if fn is None:
             is_image, image_dim = self.is_image, cfg.model.image_dim
-            source = None if is_image else two_dim_data(cfg.data.source)
+            source = None if is_image else two_dim_data(cfg.data.source, _vector_dim(cfg))
             apply_fn = self.model.apply
             ts = (jnp.linspace(0.0, 1.0, n_steps + 1)
                   if method != "dopri5" else jnp.array([0.0, 1.0]))
@@ -672,7 +685,7 @@ class Trainer:
             h, w, c = cfg.model.image_dim
             x0 = jax.random.normal(kx, (n, h, w, c))
         else:
-            x0 = two_dim_data(cfg.data.source)(kx, n)
+            x0 = two_dim_data(cfg.data.source, _vector_dim(cfg))(kx, n)
         v = vector_field_from_model(self.model.apply, self.state.ema_params["flow"])
         s = vector_field_from_model(self.score_model.apply, self.state.ema_params["score"])
         sigma = cfg.matcher.sigma if cfg.matcher.sigma > 0 else 1.0
@@ -726,7 +739,7 @@ class Trainer:
             if tfid is not None:
                 out["tracking_fid"] = tfid
         else:
-            target = two_dim_data(cfg.data.dataset)(kt, n)
+            target = two_dim_data(cfg.data.dataset, _vector_dim(cfg))(kt, n)
             out = {
                 "w1": float(wasserstein(gen, target, power=1)),
                 "w2": float(wasserstein(gen, target, power=2)),
@@ -736,6 +749,6 @@ class Trainer:
             sde = self.generate_sde(ks, n, logqp=True)
             out["sde_kl"] = float(jnp.mean(sde.logqp))
             if not self.is_image:
-                target = two_dim_data(cfg.data.dataset)(kt, n)
+                target = two_dim_data(cfg.data.dataset, _vector_dim(cfg))(kt, n)
                 out["sde_w2"] = float(wasserstein(sde.final, target, power=2))
         return out

@@ -34,9 +34,27 @@ def test_all_toy_generators_shapes_and_determinism():
         gen = two_dim_data(name)
         a = gen(key, 128)
         b = gen(key, 128)
-        assert a.shape == (128, 2), name
+        want_dim = 10 if name == "funnel" else 2  # funnel.yaml default dim
+        assert a.shape == (128, want_dim), name
         assert bool(jnp.all(jnp.isfinite(a))), name
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))  # keyed determinism
+
+
+def test_funnel_law_and_dim_plumbing():
+    """Neal's funnel (distribution_datamodule.py:488-491): x0 ~ N(0,1) and
+    x_{1:} | x0 ~ N(0, exp(x0)) — whitening by exp(-x0/2) recovers N(0,1)."""
+    x = two_dim_data("funnel", dim=6)(jax.random.PRNGKey(0), 20000)
+    assert x.shape == (20000, 6)
+    x0 = np.asarray(x[:, :1])
+    np.testing.assert_allclose(x0.mean(), 0.0, atol=0.03)
+    np.testing.assert_allclose(x0.std(), 1.0, rtol=0.03)
+    z = np.asarray(x[:, 1:]) * np.exp(-x0 / 2.0)
+    np.testing.assert_allclose(z.mean(), 0.0, atol=0.03)
+    np.testing.assert_allclose(z.std(), 1.0, rtol=0.03)
+    # dim flows to dimension-aware generators; 2-D-only generators reject it.
+    assert two_dim_data("gaussian", dim=7)(jax.random.PRNGKey(1), 4).shape == (4, 7)
+    with pytest.raises(ValueError):
+        two_dim_data("moons", dim=7)
 
 
 def test_moons_and_8gaussians_reference_scaling():

@@ -631,3 +631,29 @@ def test_overfit_repeats_data_image(tmp_path):
     assert x1s[0] == x1s[1] == x1s[2], ov          # data cycles
     assert len({t[0] for t in ov}) == 3, ov        # noise stays fresh
     assert len({t[1] for t in iid}) == 3, iid
+
+
+def test_funnel_dataset_trains_end_to_end(tmp_path):
+    """The reference's funnel datamodule (configs/datamodule/funnel.yaml,
+    10-d Neal's funnel) as a vector dataset: MLP sized to dim, gaussian
+    source matched to the funnel dim, train + eval run."""
+    cfg = load_config("2d_icfm", [
+        "data.dataset=funnel",
+        "data.source=gaussian",
+        "data.batch_size=64",
+        "trainer.total_steps=3",
+        "trainer.log_interval=1",
+        "trainer.eval_interval=3",
+        "eval.num_eval_samples=64",
+        "eval.ode_steps=5",
+        f"trainer.ckpt_dir={tmp_path}/ckpts",
+    ])
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    assert trainer.model.dim == 10  # funnel.yaml system_kwargs dim: 10
+    trainer.fit()
+    out = trainer.evaluate()
+    assert np.isfinite(out["w2"]) and np.isfinite(out["w1"])
+
+    # Explicit data.dim overrides the funnel default everywhere.
+    cfg = load_config("2d_icfm", ["data.dataset=funnel", "data.dim=4"])
+    assert Trainer(cfg, log_dir=str(tmp_path / "logs4")).model.dim == 4
