@@ -290,6 +290,12 @@ class Trainer:
             int(np.prod(l.shape)) for l in jax.tree.leaves(self.state.params)
         )
         print(f"model: {cfg.model.kind}  params: {self.n_params:,}")
+        if os.environ.get("CFM_TPU_MODEL_SUMMARY") == "1":
+            # Per-module breakdown (RichModelSummary role, callbacks/
+            # model_summary.yaml); opt-in to keep default startup quiet.
+            from .utils import param_summary
+
+            print(param_summary(self.state.params, max_depth=2))
         with open(os.path.join(self.logger.log_dir, f"{cfg.name}_hparams.json"), "w") as f:
             import dataclasses as _dc
             import json as _json

@@ -42,6 +42,27 @@ def count_params(params: Any) -> int:
     return sum(int(jnp.size(p)) for p in jax.tree.leaves(params))
 
 
+def param_summary(params: Any, max_depth: int = 1) -> str:
+    """Per-module parameter-count table (the reference's RichModelSummary
+    callback role, runner/configs/callbacks/model_summary.yaml: max_depth 1).
+
+    Groups pytree leaves by the first ``max_depth`` path components and
+    returns an aligned text table ending with the total.
+    """
+    groups: dict = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = []
+        for p in path[:max_depth]:
+            keys.append(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
+        name = "/".join(str(k) for k in keys) or "(root)"
+        groups[name] = groups.get(name, 0) + int(jnp.size(leaf))
+    width = max(len(n) for n in groups) if groups else 6
+    lines = [f"{name:<{width}}  {cnt:>12,}" for name, cnt in sorted(groups.items())]
+    total = sum(groups.values())
+    lines.append(f"{'TOTAL':<{width}}  {total:>12,}")
+    return "\n".join(lines)
+
+
 def flatten_batch(x: Array) -> Array:
     """Flatten (bs, *dim) -> (bs, prod(dim)). No-op on 2-D inputs."""
     if x.ndim > 2:

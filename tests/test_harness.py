@@ -657,3 +657,28 @@ def test_funnel_dataset_trains_end_to_end(tmp_path):
     # Explicit data.dim overrides the funnel default everywhere.
     cfg = load_config("2d_icfm", ["data.dataset=funnel", "data.dim=4"])
     assert Trainer(cfg, log_dir=str(tmp_path / "logs4")).model.dim == 4
+
+
+def test_param_summary_table(tmp_path, capsys):
+    """Per-module parameter table (RichModelSummary role, callbacks/
+    model_summary.yaml): groups sum to the total, env flag prints it."""
+    from cfm_tpu.utils import count_params, param_summary
+
+    cfg = load_config("2d_icfm", [f"trainer.ckpt_dir={tmp_path}/ck"])
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    table = param_summary(trainer.state.params, max_depth=2)
+    rows = table.splitlines()
+    assert rows[-1].startswith("TOTAL")
+    total = int(rows[-1].split()[-1].replace(",", ""))
+    assert total == count_params(trainer.state.params) == trainer.n_params
+    per_module = sum(int(r.split()[-1].replace(",", "")) for r in rows[:-1])
+    assert per_module == total
+
+    os.environ["CFM_TPU_MODEL_SUMMARY"] = "1"
+    try:
+        capsys.readouterr()
+        Trainer(cfg, log_dir=str(tmp_path / "logs2"))
+        out = capsys.readouterr().out
+        assert "TOTAL" in out and "Dense_0" in out
+    finally:
+        del os.environ["CFM_TPU_MODEL_SUMMARY"]
