@@ -157,6 +157,37 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class FastDropout(nn.Module):
+    """Dropout from 8-bit random draws (torch ``nn.Dropout`` semantics at the
+    reference's ResBlock site, unet.py:130-234 — per-element mask, kept
+    activations rescaled so E[out] == x).
+
+    ``jax.random.bernoulli`` generates 32 random bits per element; TPU
+    RngBitGenerator is VPU-rate-bound, so u8 draws run ~1.6x faster
+    (measured v5e, 67M elements: 2.85 vs 4.59 ms) — ~0.7 ms/step on the
+    CIFAR-10 recipe where mask generation is the whole train-vs-eval
+    residual. The keep probability quantizes to ``round(keep*256)/256``
+    (rate 0.1 -> keep 230/256 = 0.8984) and the rescale uses the REALIZED
+    probability, so the estimator stays exactly unbiased.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        if deterministic or self.rate == 0.0:
+            return x
+        thr = int(round((1.0 - self.rate) * 256.0))
+        if thr >= 256:
+            return x
+        if thr <= 0:
+            return jnp.zeros_like(x)
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, dtype=jnp.uint8)
+        keep = bits < jnp.uint8(thr)
+        return jnp.where(keep, x * jnp.asarray(256.0 / thr, x.dtype),
+                         jnp.zeros_like(x))
+
+
 class ResBlock(nn.Module):
     """Residual block with timestep-embedding conditioning (reference :130-234).
 
@@ -198,7 +229,7 @@ class ResBlock(nn.Module):
         else:
             h = h + emb_out
             h = GroupNorm32(fuse_silu=True)(h)
-        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = FastDropout(self.dropout)(h, deterministic=not train)
         h = _zero_conv(c_out, (3, 3), self.dtype)(h)
 
         if c_out == c_in:

@@ -782,3 +782,35 @@ def test_unet_resblock_updown_matches_torch_mirror(key):
     ref = tm.unet_forward(params, cfg, torch.tensor([0.2, 0.8]),
                           torch.from_numpy(np.asarray(x)))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_fast_dropout_semantics():
+    """u8-draw dropout: torch nn.Dropout semantics with the keep probability
+    quantized to thr/256 and the rescale matched to the REALIZED probability
+    (exactly unbiased). Reference site: unet.py:130-234 ResBlock dropout."""
+    from cfm_tpu.models.unet import FastDropout
+
+    x = jnp.ones((64, 16, 16, 32), jnp.float32)
+    mod = FastDropout(0.1)
+    out = mod.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    kept = np.asarray(out) != 0.0
+    # Realized keep prob is round(0.9*256)/256 = 230/256.
+    np.testing.assert_allclose(kept.mean(), 230 / 256, atol=0.005)
+    # Kept activations carry the exactly-matching rescale -> unbiased.
+    np.testing.assert_allclose(np.asarray(out)[kept], 256 / 230, rtol=1e-6)
+    np.testing.assert_allclose(float(out.mean()), 1.0, atol=0.01)
+    # Same rng -> same mask; different rng -> different mask.
+    out2 = mod.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = mod.apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert not np.array_equal(np.asarray(out), np.asarray(out3))
+    # deterministic / rate edges are identity / zeros.
+    np.testing.assert_array_equal(np.asarray(mod.apply({}, x, True)), np.asarray(x))
+    z = FastDropout(1.0).apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(np.asarray(z), 0.0)
+    i = FastDropout(0.0).apply({}, x, False)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(x))
+    # bf16 activations keep their dtype.
+    xb = x.astype(jnp.bfloat16)
+    ob = mod.apply({}, xb, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    assert ob.dtype == jnp.bfloat16
