@@ -267,3 +267,64 @@ def test_cnf_nll_adaptive_adjoint_matches_fixed_step():
     p1 = jax.tree.map(lambda a, b: a - 0.002 * b, params, ga)
     la1 = float(adapt(p1, kd, None, x1)[0])
     assert la1 < float(la), (la1, float(la))
+
+
+def test_oneway_dsbm_equals_dsbm_forward_half_and_trains():
+    """make_oneway_dsbm_loss (OneWaySF2MLitModule, cfm_module.py:1088-1118)
+    is exactly the forward half of the joint DSBM loss under the same key
+    and forward params, and it trains."""
+    from cfm_tpu.variants import make_oneway_dsbm_loss
+
+    key = jax.random.PRNGKey(4)
+    fwd = MLP(dim=2, w=32)
+    bwd = MLP(dim=2, w=32)
+    fparams = fwd.init(key, jnp.zeros((2,)), jnp.zeros((2, 2)))
+    joint = {
+        "forward": fparams,
+        "backward": bwd.init(jax.random.fold_in(key, 1), jnp.zeros((2,)), jnp.zeros((2, 2))),
+    }
+    sched = ConstantNoiseScheduler(0.3)
+    one = make_oneway_dsbm_loss(fwd.apply, sched)
+    both = make_dsbm_loss(fwd.apply, bwd.apply, sched)
+    x0 = jax.random.normal(jax.random.fold_in(key, 2), (64, 2))
+    x1 = jax.random.normal(jax.random.fold_in(key, 3), (64, 2)) + 2.0
+    l_one, m_one = one(fparams, key, x0, x1)
+    l_joint, m_joint = both(joint, key, x0, x1)
+    np.testing.assert_allclose(float(l_one), float(m_joint["fwd_loss"]), rtol=1e-6)
+
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(fparams)
+    losses = []
+    for i in range(60):
+        k = jax.random.fold_in(key, 10 + i)
+        x0 = jax.random.normal(jax.random.fold_in(k, 0), (64, 2))
+        x1 = jax.random.normal(jax.random.fold_in(k, 1), (64, 2)) + 2.0
+        (l, _), g = jax.value_and_grad(one, has_aux=True)(fparams, k, x0, x1)
+        upd, opt_state = opt.update(g, opt_state)
+        fparams = optax.apply_updates(fparams, upd)
+        losses.append(float(l))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert np.isfinite(losses[-1])
+
+
+def test_sf2m_score_loss_formula_and_drift_helper():
+    """sf2m_score_loss is mse(-2 sigma_t s / g^2, eps) (cfm_module.py:905-908)
+    and dsbm_ode_drift is the probability-flow (f - b)/2 (solver.py:225-269)."""
+    from cfm_tpu.variants import ScheduleBridgeMatcher, dsbm_ode_drift, sf2m_score_loss
+
+    key = jax.random.PRNGKey(5)
+    bridge = ScheduleBridgeMatcher(ConstantNoiseScheduler(0.5))
+    x0 = jax.random.normal(jax.random.fold_in(key, 0), (32, 2))
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (32, 2)) + 1.0
+    sample = bridge.sample_location_and_targets(key, x0, x1)
+    st = jax.random.normal(jax.random.fold_in(key, 2), (32, 2))
+    got = float(sf2m_score_loss(st, sample))
+    scaled = -2.0 * sample["sigma_t"] * st / (sample["g_t"] ** 2 + 1e-8)
+    want = float(jnp.mean(jnp.square(scaled - sample["eps"])))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # Drift helper: linear fields f(x) = x + 1, b(x) = x - 1 -> drift == 1.
+    params = {"forward": None, "backward": None}
+    drift = dsbm_ode_drift(lambda p, t, x: x + 1.0, lambda p, t, x: x - 1.0, params)
+    out = drift(0.3, jnp.zeros((4, 2)))
+    np.testing.assert_allclose(np.asarray(out), 1.0)
