@@ -72,5 +72,5 @@ def save_train_state(path: str, state: TrainState) -> None:
 
 def restore_train_state(path: str, state_like: TrainState) -> TrainState:
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), args=ocp.args.StandardRestore(state_like._asdict()))
+    restored = ckptr.restore(os.path.abspath(path), state_like._asdict())
     return TrainState(**restored)

@@ -682,3 +682,35 @@ def test_param_summary_table(tmp_path, capsys):
         assert "TOTAL" in out and "Dense_0" in out
     finally:
         del os.environ["CFM_TPU_MODEL_SUMMARY"]
+
+
+def test_one_shot_state_save_restore(tmp_path):
+    """The manager-free one-shot checkpoint API round-trips a TrainState
+    bit-for-bit (the reference's plain torch.save role,
+    examples/images/cifar10/train_cifar10.py:157-166)."""
+    from cfm_tpu.checkpoint import restore_train_state, save_train_state
+    from cfm_tpu.models import MLP
+    from cfm_tpu.train import init_train_state, make_optimizer
+
+    model = MLP(dim=2, w=8)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2,)), jnp.zeros((2, 2)))
+    state = init_train_state(params, make_optimizer(lr=1e-3, warmup_steps=0))
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    path = str(tmp_path / "oneshot")
+    save_train_state(path, state)
+    zero = jax.tree.map(jnp.zeros_like, state)
+    back = restore_train_state(path, zero)
+    assert int(back.step) == 7
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(back.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profiling_timer_helpers():
+    """time_fn returns a sane per-call time; measure_sync_overhead >= 0."""
+    from cfm_tpu.profiling import measure_sync_overhead, time_fn
+
+    f = jax.jit(lambda x: x * 2.0)
+    x = jnp.ones((8, 8))
+    dt = time_fn(f, x, iters=5, warmup=1)
+    assert 0.0 < dt < 1.0
+    assert measure_sync_overhead() >= 0.0
