@@ -68,3 +68,26 @@ def test_single_cell_joint_plans_smoke():
     assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
     assert "joint plans up front" in r.stdout
     assert "Median_L2" in r.stdout or "W2" in r.stdout
+
+
+@pytest.mark.slow
+def test_train_mnist_conditional_smoke(tmp_path):
+    """Conditional MNIST trainer end-to-end (guided matcher + class-cond
+    UNet + sample grid; reference conditional_mnist.ipynb surface)."""
+    r = _run([f"{REPO}/examples/train_mnist.py", "--matcher", "otcfm",
+              "--steps", "3", "--batch_size", "16", "--synthetic",
+              "--conditional", "--output_dir", str(tmp_path)], timeout=560)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "saved samples" in r.stdout
+    assert (tmp_path / "mnist_samples.png").exists()
+
+
+@pytest.mark.slow
+def test_train_mnist_sde_smoke(tmp_path):
+    """SF2M-style MNIST: score head + SDE sampling (mnist_example.ipynb
+    SDE cells)."""
+    r = _run([f"{REPO}/examples/train_mnist.py", "--matcher", "sbcfm",
+              "--steps", "3", "--batch_size", "16", "--synthetic",
+              "--sde", "--output_dir", str(tmp_path)], timeout=560)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert (tmp_path / "mnist_samples.png").exists()
