@@ -310,16 +310,26 @@ def load_config(preset: Optional[str] = None, overrides: Sequence[str] = ()) -> 
         cfg = _PRESETS[preset]() if preset else Config()
     # `debug=<mode>` is a group override (Hydra `debug=fdr`): the overlay
     # applies before the remaining dotted overrides, so explicit keys still
-    # win (e.g. `debug=overfit trainer.total_steps=50`).
-    rest = []
+    # win (e.g. `debug=overfit trainer.total_steps=50`). The one exception
+    # is `name=`: the overlay PREFIXES the run name (and derives
+    # profile_dir from it), so a user-supplied name must be applied first —
+    # `debug=profiler name=myrun` runs as `debug_myrun`, keeping the
+    # overlay's separate-folders guarantee instead of being stripped by
+    # override ordering.
+    debug_modes, rest = [], []
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"Override must be key=value, got {ov!r}")
         path, raw = ov.split("=", 1)
-        if path.strip() == "debug":
-            apply_debug(cfg, raw.strip())
+        path, raw = path.strip(), raw.strip()
+        if path == "debug":
+            debug_modes.append(raw)
+        elif path == "name":
+            _apply_override(cfg, path, raw)
         else:
-            rest.append((path.strip(), raw.strip()))
+            rest.append((path, raw))
+    for mode in debug_modes:
+        apply_debug(cfg, mode)
     for path, raw in rest:
         _apply_override(cfg, path, raw)
     return cfg
@@ -347,6 +357,11 @@ def _load_yaml_config(path: str) -> Config:
     base = doc.pop("preset", None)
     debug_mode = doc.pop("debug", None)
     cfg = _PRESETS[base]() if base else Config()
+    # Same ordering contract as load_config: a YAML `name:` applies before
+    # the debug overlay so the overlay prefixes the user's run name.
+    name = doc.pop("name", None)
+    if name is not None:
+        cfg.name = str(name)
     if debug_mode:
         apply_debug(cfg, str(debug_mode))
     for dotted, value in _flatten(doc):

@@ -177,11 +177,13 @@ class FastDropout(nn.Module):
     def __call__(self, x: Array, deterministic: bool) -> Array:
         if deterministic or self.rate == 0.0:
             return x
-        thr = int(round((1.0 - self.rate) * 256.0))
-        if thr >= 256:
-            return x
-        if thr <= 0:
+        if self.rate >= 1.0:
             return jnp.zeros_like(x)
+        # Quantize the keep probability to thr/256, clamped one level off the
+        # edges so any nonzero rate < 1 keeps dropping SOMETHING (rate 0.001
+        # realizes the smallest representable drop 1/256, never a silent
+        # no-op; symmetrically rate 0.999 never drops everything).
+        thr = min(255, max(1, int(round((1.0 - self.rate) * 256.0))))
         bits = jax.random.bits(self.make_rng("dropout"), x.shape, dtype=jnp.uint8)
         keep = bits < jnp.uint8(thr)
         return jnp.where(keep, x * jnp.asarray(256.0 / thr, x.dtype),

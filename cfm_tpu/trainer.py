@@ -105,6 +105,24 @@ def _vector_dim(cfg) -> int:
         return cfg.data.dim
     return 10 if cfg.data.dataset == "funnel" else 0
 
+
+def _source_gen(cfg):
+    """Resolve the source generator at the effective vector dim.
+
+    When the target needs dim > 2 (funnel) but the configured source is a
+    2-D-only generator (every 2d_* preset defaults to '8gaussians'), fall
+    back to the standard-normal base — the reference's funnel runs use the
+    CNF's N(0, I) base distribution, there is no d-dim 8gaussians to match.
+    An explicitly dim-aware source (gaussian/funnel) is used as configured.
+    """
+    from .data.toy import _DIM_AWARE
+
+    dim = _vector_dim(cfg)
+    name = cfg.data.source
+    if dim > 2 and name not in _DIM_AWARE:
+        return two_dim_data("gaussian", dim)
+    return two_dim_data(name, dim)
+
 _2D_SETS = {"moons", "moon", "8gaussians", "pinwheel", "checkerboard", "checker",
             "circles", "circle", "2spirals", "swiss", "swissroll", "scurve",
             "mixture", "gaussian", "funnel"}
@@ -398,7 +416,7 @@ class Trainer:
 
         if not self.is_image:
             target_gen = two_dim_data(cfg.data.dataset, _vector_dim(cfg))
-            source_gen = two_dim_data(cfg.data.source, _vector_dim(cfg))
+            source_gen = _source_gen(cfg)
 
             def fused(state, key):
                 k0, k1, ks = jax.random.split(key, 3)
@@ -659,7 +677,7 @@ class Trainer:
             self._gen_cache = {}
         if fn is None:
             is_image, image_dim = self.is_image, cfg.model.image_dim
-            source = None if is_image else two_dim_data(cfg.data.source, _vector_dim(cfg))
+            source = None if is_image else _source_gen(cfg)
             apply_fn = self.model.apply
             ts = (jnp.linspace(0.0, 1.0, n_steps + 1)
                   if method != "dopri5" else jnp.array([0.0, 1.0]))
@@ -691,7 +709,7 @@ class Trainer:
             h, w, c = cfg.model.image_dim
             x0 = jax.random.normal(kx, (n, h, w, c))
         else:
-            x0 = two_dim_data(cfg.data.source, _vector_dim(cfg))(kx, n)
+            x0 = _source_gen(cfg)(kx, n)
         v = vector_field_from_model(self.model.apply, self.state.ema_params["flow"])
         s = vector_field_from_model(self.score_model.apply, self.state.ema_params["score"])
         sigma = cfg.matcher.sigma if cfg.matcher.sigma > 0 else 1.0

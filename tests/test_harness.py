@@ -714,3 +714,39 @@ def test_profiling_timer_helpers():
     dt = time_fn(f, x, iters=5, warmup=1)
     assert 0.0 < dt < 1.0
     assert measure_sync_overhead() >= 0.0
+
+
+def test_funnel_with_default_source_falls_back_to_gaussian(tmp_path):
+    """data.dataset=funnel with the preset-default '8gaussians' source must
+    run (review finding r5): the source falls back to the matching-dim
+    standard normal, matching the reference's N(0,I) base for funnel."""
+    cfg = load_config("2d_otcfm", [
+        "data.dataset=funnel",
+        "data.batch_size=32",
+        "trainer.total_steps=2",
+        "trainer.eval_interval=2",
+        "trainer.log_interval=1",
+        "eval.num_eval_samples=32",
+        "eval.ode_steps=4",
+        f"trainer.ckpt_dir={tmp_path}/ck",
+    ])
+    assert cfg.data.source == "8gaussians"  # untouched config
+    trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
+    trainer.fit()
+    out = trainer.evaluate()
+    assert np.isfinite(out["w2"])
+
+
+def test_debug_name_override_keeps_prefix(tmp_path):
+    """`debug=<mode> name=myrun` runs as debug_myrun with profile_dir
+    derived from it (review finding r5), in both CLI and YAML tiers."""
+    cfg = load_config("2d_otcfm", ["debug=profiler", "name=myrun"])
+    assert cfg.name == "debug_myrun"
+    assert cfg.trainer.profile_dir == "logs/profile_debug_myrun"
+    cfg = load_config("2d_otcfm", ["name=myrun", "debug=fdr"])
+    assert cfg.name == "debug_myrun"
+
+    p = tmp_path / "named.yaml"
+    p.write_text("preset: 2d_icfm\nname: myrun\ndebug: fdr\n")
+    cfg = load_config(str(p))
+    assert cfg.name == "debug_myrun"

@@ -814,3 +814,17 @@ def test_fast_dropout_semantics():
     xb = x.astype(jnp.bfloat16)
     ob = mod.apply({}, xb, False, rngs={"dropout": jax.random.PRNGKey(0)})
     assert ob.dtype == jnp.bfloat16
+
+
+def test_fast_dropout_tiny_rates_never_silent_noop():
+    """Any nonzero rate < 1 drops something; any rate < 1 keeps something —
+    the u8 quantization clamps one level off the edges (review finding r5)."""
+    from cfm_tpu.models.unet import FastDropout
+
+    x = jnp.ones((32, 32, 32), jnp.float32)
+    out = FastDropout(0.001).apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    frac = float((np.asarray(out) == 0).mean())
+    np.testing.assert_allclose(frac, 1 / 256, atol=0.002)  # smallest drop level
+    out = FastDropout(0.999).apply({}, x, False, rngs={"dropout": jax.random.PRNGKey(0)})
+    frac = float((np.asarray(out) != 0).mean())
+    np.testing.assert_allclose(frac, 1 / 256, atol=0.002)  # smallest keep level

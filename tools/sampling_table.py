@@ -52,19 +52,21 @@ def main() -> None:
     step = int(trainer.state.step)
     print(f"params: {'checkpoint step ' + str(step) if step else 'random init'}")
 
+    from cfm_tpu.profiling import hard_sync
+
     modes = [("euler", 100), ("rk4", 100), ("dopri5", 100)]
     rows = []
     for method, n_steps in modes:
         key = jax.random.PRNGKey(0)
         sol = trainer.generate(key, args.batch, method=method, n_steps=n_steps,
                                return_solution=True)
-        float(np.asarray(sol.final).sum())  # hard sync (axon-safe fence)
+        hard_sync(sol.final)  # axon-safe fence
         t0 = time.perf_counter()
         for r in range(args.reps):
             sol = trainer.generate(jax.random.PRNGKey(r + 1), args.batch,
                                    method=method, n_steps=n_steps,
                                    return_solution=True)
-        float(np.asarray(sol.final).sum())
+        hard_sync(sol.final)
         dt = (time.perf_counter() - t0) / args.reps
         nfe = float(sol.nfe)
         rate = args.batch / dt
