@@ -202,6 +202,12 @@ def main() -> None:
         target = max(pbs, key=os.path.getmtime)
     per_op, by_cat = parse_xplane(target, args.top)
     total = sum(by_cat.values())
+    if total == 0:
+        # CPU-only traces (e.g. a debug=profiler run on the spoofed mesh)
+        # carry no TPU device plane; say so instead of dividing by zero.
+        print(f"no TPU device ops in {target} — CPU-only trace? "
+              "(the categorizer buckets TPU device planes only)")
+        return
     n = args.steps if not args.parse_only else 1
     print(f"\n== by category (total {total:.2f} ms over {n} steps, "
           f"{total / max(n,1):.2f} ms/step) ==")
