@@ -750,3 +750,33 @@ def test_debug_name_override_keeps_prefix(tmp_path):
     p.write_text("preset: 2d_icfm\nname: myrun\ndebug: fdr\n")
     cfg = load_config(str(p))
     assert cfg.name == "debug_myrun"
+
+
+def test_overfit_composes_with_data_parallel(tmp_path):
+    """debug=overfit under data_parallel: the overfit data keys are computed
+    identically on every shard (the dp design generates the global batch
+    replicated, then slices per device), so the combination must train and
+    stay deterministic across runs."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+
+    def run(tag):
+        cfg = load_config("2d_otcfm", [
+            "debug=overfit",
+            "trainer.total_steps=3",
+            "trainer.log_interval=1",
+            "trainer.ckpt_interval=0",
+            "trainer.data_parallel=True",
+            "data.batch_size=32",
+            f"trainer.ckpt_dir={tmp_path}/ck_{tag}",
+        ])
+        assert cfg.trainer.overfit_batches == 3
+        trainer = Trainer(cfg, log_dir=str(tmp_path / f"logs_{tag}"))
+        assert trainer.mesh is not None
+        trainer.fit()
+        import json
+        rows = [json.loads(l) for l in open(trainer.logger.jsonl_path)]
+        return [r["loss"] for r in rows if "loss" in r]
+
+    a, b = run("a"), run("b")
+    assert len(a) == 3 and a == b  # same keys end to end -> bitwise replay
