@@ -732,7 +732,10 @@ class FlowSolver:
     def _sigma_fn(self):
         sig = self.sigma
         if callable(sig):
-            return lambda t, x: jnp.broadcast_to(sig(t), ()) * jnp.ones_like(x)
+            # Broadcast like the reference TorchSDE.g (sigma(t) *
+            # ones_like(y), solver.py:40-44): schedules returning () or
+            # (1,)-shaped values are both fine.
+            return lambda t, x: jnp.asarray(sig(t)).reshape(()) * jnp.ones_like(x)
 
         return lambda t, x: jnp.asarray(sig, x.dtype) * jnp.ones_like(x)
 
@@ -751,6 +754,14 @@ class FlowSolver:
     ) -> SDESolution:
         if self.score is None:
             raise ValueError("sdeint requires a score field")
+        if logqp and not callable(self.sigma) and float(self.sigma) == 0.0:
+            # Girsanov KL divides by the diffusion; with sigma = 0 the
+            # epsilon floor would return an astronomically large finite
+            # number instead of the honest answer (undefined).
+            raise ValueError(
+                "logqp KL is undefined for sigma=0 — set FlowSolver.sigma "
+                "(or a noise schedule) before requesting logqp"
+            )
         v, s = self.drift, self.score
         if reverse:
             drift = lambda t, x: -v(1.0 - t, x) + s(1.0 - t, x)

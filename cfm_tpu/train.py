@@ -26,7 +26,11 @@ Array = jax.Array
 
 def warmup_lr_schedule(base_lr: float, warmup_steps: int) -> optax.Schedule:
     """Linear warmup then constant — the reference's ``warmup_lr`` lambda
-    (train_cifar10.py:58-59: min(step, warmup) / warmup)."""
+    (train_cifar10.py:58-59: min(step, warmup) / warmup), DELIBERATELY
+    shifted by one: ``min(step+1, warmup)/warmup``. optax schedules see the
+    pre-increment count (step 0 on the first update), and a 0-lr first step
+    would be a wasted batch; full lr is reached at update ``warmup-1``,
+    matching the reference's lr sequence from its step 1 onward."""
 
     def schedule(step):
         if warmup_steps <= 0:
@@ -266,6 +270,12 @@ def make_replicated_coupling_shard_fn(
                 x0, x1, coupling_bad = matcher.ot_sampler.sample_plan(
                     kc, x0, x1, return_status=True
                 )
+        # Static-shape guard (trace-time): a non-divisible batch would
+        # silently drop the remainder rows from every step (and batch <
+        # n_dev would mean zero-size shards -> NaN means).
+        assert x0.shape[0] % n_dev == 0, (
+            f"global batch {x0.shape[0]} must divide over {n_dev} devices"
+        )
         shard = x0.shape[0] // n_dev
 
         def sl(a):

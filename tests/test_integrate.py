@@ -490,3 +490,25 @@ def test_sdeint_logqp_accumulates_in_f32():
                  jnp.linspace(0.0, 1.0, 201), logqp_drift=h)
     assert sol.logqp.dtype == jnp.float32
     assert bool(jnp.isfinite(sol.logqp).all())
+
+
+def test_flowsolver_logqp_sigma_zero_raises_and_shaped_sigma_ok():
+    """Review findings r5: logqp with sigma=0 must fail loudly (Girsanov KL
+    is undefined), and a (1,)-shaped callable sigma schedule must broadcast
+    like the reference's sigma(t) * ones_like(y) (solver.py:40-44)."""
+    v = lambda t, x: -x
+    s = lambda t, x: 0.1 * x
+    solver = FlowSolver(drift=v, score=s)  # sigma defaults to 0.0
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.ones((4, 2))
+    ts = jnp.linspace(0.0, 1.0, 5)
+    with pytest.raises(ValueError, match="sigma=0"):
+        solver.sdeint(key, x0, ts, logqp=True)
+    # sigma=0 without logqp stays legal (deterministic drift rollout).
+    out = solver.sdeint(key, x0, ts)
+    assert bool(jnp.all(jnp.isfinite(out.final)))
+
+    shaped = FlowSolver(drift=v, score=s, sigma=lambda t: jnp.full((1,), 0.3))
+    sol = shaped.sdeint(key, x0, ts, logqp=True)
+    assert bool(jnp.all(jnp.isfinite(sol.final)))
+    assert bool(jnp.all(jnp.isfinite(sol.logqp)))
