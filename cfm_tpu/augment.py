@@ -161,12 +161,14 @@ def hutch_trace(f_x: Callable[[Array], Array], x: Array, key: Array, k: int = 1)
     """Hutchinson divergence estimate with k Rademacher probes (:115-121)."""
     d = x.shape[0]
     eps = jax.random.rademacher(key, (k, d), dtype=x.dtype)
+    # One linearization shared by all probes: jax.vjp depends on x only, so
+    # re-deriving it per probe would run k forward passes instead of 1.
+    _, vjp = jax.vjp(f_x, x)
 
     def one(e):
-        _, vjp = jax.vjp(f_x, x)
         return vjp(e)[0] @ e
 
-    return jnp.mean(jax.vmap(one)(eps)) * 1.0
+    return jnp.mean(jax.vmap(one)(eps))
 
 
 def batched_divergence(

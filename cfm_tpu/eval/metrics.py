@@ -100,7 +100,14 @@ def compute_distribution_distances(
     """
     pred_is_jagged = isinstance(pred, list)
     is_jagged = isinstance(true, list)
-    filtered_names = [n for n in NAMES if not (is_jagged or pred_is_jagged) or not n.endswith("MMD")]
+    # MMD estimators here are paired-sample forms (x - y, a[:-1]*b[1:]) and
+    # need equal batch sizes — skip them for unequal-size ARRAY inputs too,
+    # not just jagged lists (same reason, same treatment).
+    unequal_arrays = (
+        not (pred_is_jagged or is_jagged) and pred.shape[0] != true.shape[0]
+    )
+    skip_mmd = pred_is_jagged or is_jagged or unequal_arrays
+    filtered_names = [n for n in NAMES if not skip_mmd or not n.endswith("MMD")]
     ts = len(pred) if pred_is_jagged else pred.shape[1]
     dists: List[Tuple[float, ...]] = []
     names: List[str] = []
@@ -114,7 +121,7 @@ def compute_distribution_distances(
         w2 = float(wasserstein(a, b, method=method, power=2))
         mean_d = compute_distances(jnp.mean(a, axis=0), jnp.mean(b, axis=0))
         med_d = compute_distances(jnp.median(a, axis=0), jnp.median(b, axis=0))
-        if pred_is_jagged or is_jagged:
+        if skip_mmd:
             row = (w1, w2, *mean_d, *med_d)
         else:
             mmd_l = float(linear_mmd2(a, b))

@@ -60,8 +60,10 @@ def fit_natural_cubic_spline(ts: Array, ys: Array) -> CubicSpline:
     d = (ys[..., 1:, :] - ys[..., :-1, :]) / h[:, None]  # (..., K-1, D)
     rhs = jnp.zeros_like(ys)
     rhs = rhs.at[..., 1 : K - 1, :].set(6.0 * (d[..., 1:, :] - d[..., :-1, :]))
-    # Solve for every batch/dim at once: A (K,K) @ m (..., K, D) = rhs.
-    m = jnp.einsum("ij,...jd->...id", jnp.linalg.inv(A), rhs)
+    # Solve for every batch/dim at once: A (K,K) m = rhs (..., K, D) —
+    # jnp.linalg.solve broadcasts A over the batch dims (better conditioned
+    # than materializing inv(A) for closely-spaced knots).
+    m = jnp.linalg.solve(A, rhs)
     return CubicSpline(ts=ts, ys=ys, m=m)
 
 
@@ -69,13 +71,13 @@ def _spline_eval(sp: CubicSpline, t: Array, derivative: bool) -> Array:
     ts, ys, m = sp.ts, sp.ys, sp.m
     K = ts.shape[0]
     t = jnp.asarray(t)
-    idx = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, K - 2)
-    t0, t1 = ts[idx], ts[idx + 1]
-    h = t1 - t0
 
     # Scalar-time fast path (the common case inside the training step): one
     # segment index for the whole batch.
     if t.ndim == 0:
+        idx = jnp.clip(jnp.searchsorted(ts, t, side="right") - 1, 0, K - 2)
+        t0, t1 = ts[idx], ts[idx + 1]
+        h = t1 - t0
         y0, y1 = ys[..., idx, :], ys[..., idx + 1, :]
         m0, m1 = m[..., idx, :], m[..., idx + 1, :]
         a = (t1 - t) / h
@@ -89,8 +91,22 @@ def _spline_eval(sp: CubicSpline, t: Array, derivative: bool) -> Array:
             (y1 - y0) / h
             + ((3 * b**2 - 1) * m1 - (3 * a**2 - 1) * m0) * h / 6.0
         )
-    # Batched time: vmap the scalar path over the leading axis (t: (B,),
-    # ys/m: (B, K, D)).
+    # Batched time. Per-sample splines (ys/m leading dim == len(t)) pair
+    # t[i] with spline i; a SHARED spline (no leading batch dim, or leading
+    # dim 1) broadcasts across every t — the '(...)-broadcastable time'
+    # contract (a mismatched leading dim raises instead of mispairing).
+    if ys.ndim == 2 or (ys.ndim > 2 and ys.shape[0] == 1 != t.shape[0]):
+        shared_ys = ys if ys.ndim == 2 else ys[0]
+        shared_m = m if m.ndim == 2 else m[0]
+        return jax.vmap(
+            lambda ti: _spline_eval(
+                CubicSpline(ts, shared_ys, shared_m), ti, derivative
+            )
+        )(t)
+    if ys.shape[0] != t.shape[0]:
+        raise ValueError(
+            f"time batch {t.shape[0]} does not match spline batch {ys.shape[0]}"
+        )
     return jax.vmap(
         lambda ti, yi, mi: _spline_eval(CubicSpline(ts, yi, mi), ti, derivative)
     )(t, ys, m)

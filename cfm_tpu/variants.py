@@ -167,7 +167,8 @@ def straightness(apply_fn, params, key, x0: Array, n_steps: int = 20) -> Array:
     ts = jnp.linspace(0.0, 1.0, n_steps + 1)
     sol = odeint(f, x0, ts, method="euler")
     x1 = sol.final
-    straight = x0[None] + (ts[:, None, None] if x0.ndim == 2 else ts.reshape(-1, 1, 1, 1, 1)) * (x1 - x0)[None]
+    tshape = (-1,) + (1,) * x0.ndim   # (T, 1, ...) against (T, bs, *dim)
+    straight = x0[None] + ts.reshape(tshape) * (x1 - x0)[None]
     return jnp.mean(jnp.square(sol.ys - straight))
 
 
@@ -302,13 +303,17 @@ def make_icnn_losses(f_module, g_module):
         return loss, {"f_loss": loss}
 
     def w2_estimate(f_params, g_params, x, y):
-        """Dual W2 estimate (icnn_module.py compute_w2)."""
+        """Dual estimate of (1/2) W2^2, the reference's convention
+        (icnn_module.py:229-245 compute_w2: E[f(grad_g) - f(y) - <x, grad_g>]
+        + (1/2)E||x||^2 + (1/2)E||y||^2, roles of x/y swapped here): the
+        Kantorovich dual gives W2^2 = E||x||^2 + E||y||^2 - 2 sup(dual), so
+        the estimate is half the squared distance, >= 0 at the optimum."""
         Tx = grad_g(g_params, x)
         fTx = f_module.apply(f_params, Tx)[:, 0]
         fy = f_module.apply(f_params, y)[:, 0]
         corr = jnp.sum(x * Tx, axis=1)
         dual = jnp.mean(corr - fTx) + jnp.mean(fy)
-        return 2 * dual - jnp.mean(jnp.sum(x**2, 1)) - jnp.mean(jnp.sum(y**2, 1))
+        return 0.5 * (jnp.mean(jnp.sum(x**2, 1)) + jnp.mean(jnp.sum(y**2, 1))) - dual
 
     return g_loss, f_loss, grad_g, w2_estimate
 
@@ -367,9 +372,16 @@ def ipf_resample_pairs(
         ts = jnp.linspace(0.0, 1.0, n_steps + 1)
         out = sdeint(drift, diffusion, key, x_start, ts, return_trajectory=False)
         return x_start, jax.lax.stop_gradient(out.final)
-    # Backward drift is parameterized in forward time; integrate 1 -> 0.
-    ts = jnp.linspace(1.0, 0.0, n_steps + 1)
-    out = sdeint(drift, diffusion, key, x_start, ts, return_trajectory=False)
+    # Backward drift: b(t, x) is parameterized in forward time t but is the
+    # drift of the REVERSE-time process (dy/ds = b(1-s, y), s = 1-t, ds > 0).
+    # Integrate on the positive s-grid with the time-flipped drift — the
+    # same treatment FlowSolver.sdeint(reverse=True) applies. (Feeding the
+    # raw drift a 1->0 grid would negate it: x += b*dt with dt < 0 steps
+    # AWAY from the x0 marginal.)
+    ts = jnp.linspace(0.0, 1.0, n_steps + 1)
+    bdrift = lambda s, x: drift(1.0 - s, x)
+    bdiff = lambda s, x: diffusion(1.0 - s, x)
+    out = sdeint(bdrift, bdiff, key, x_start, ts, return_trajectory=False)
     return jax.lax.stop_gradient(out.final), x_start
 
 

@@ -86,3 +86,18 @@ def test_compute_distribution_distances_jagged():
     names, values = compute_distribution_distances(pred, true)
     assert all(not n.endswith("MMD") for n in names)
     assert len(names) == len(values)
+
+
+def test_distribution_distances_unequal_array_batches():
+    """Array inputs with unequal batch sizes must work (review finding r5):
+    wasserstein falls back to sinkhorn and the paired-sample MMDs are
+    skipped, exactly like the jagged-list path."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    pred = jnp.asarray(rng.normal(size=(100, 2, 3)).astype(np.float32))
+    true = jnp.asarray(rng.normal(size=(80, 2, 3)).astype(np.float32))
+    names, vals = compute_distribution_distances(pred, true)
+    assert len(names) == len(vals)
+    assert not any(n.endswith("MMD") for n in names)
+    assert all(np.isfinite(v) for v in vals)

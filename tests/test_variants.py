@@ -328,3 +328,84 @@ def test_sf2m_score_loss_formula_and_drift_helper():
     drift = dsbm_ode_drift(lambda p, t, x: x + 1.0, lambda p, t, x: x - 1.0, params)
     out = drift(0.3, jnp.zeros((4, 2)))
     np.testing.assert_allclose(np.asarray(out), 1.0)
+
+
+def test_w2_estimate_point_mass_oracle():
+    """Sign/scale oracle (review finding r5): x = 0, y = c with the exact
+    transport potential g(x) = ||x||^2/2 + <c, x> (T = grad g = x + c) gives
+    dual = 0 and the estimate must equal +(1/2)||c||^2 — the reference's
+    (1/2) W2^2 convention (icnn_module.py:229-245), not its negative."""
+
+    class Quad:
+        """g(x) = ||x||^2/2 + <c, x>; f arbitrary (drops out at x = 0)."""
+
+        def __init__(self, c):
+            self.c = c
+
+        def apply(self, params, x):
+            return (0.5 * jnp.sum(x**2, 1) + x @ self.c)[:, None]
+
+    c = jnp.array([3.0, -4.0])          # ||c||^2 = 25
+    mod = Quad(c)
+    _, _, grad_g, w2_est = make_icnn_losses(mod, mod)
+    x = jnp.zeros((16, 2))
+    y = jnp.broadcast_to(c, (16, 2))
+    np.testing.assert_allclose(np.asarray(grad_g(None, x)), np.asarray(y), atol=1e-6)
+    est = float(w2_est(None, None, x, y))
+    np.testing.assert_allclose(est, 0.5 * 25.0, rtol=1e-6)
+
+
+def test_ipf_resample_reverse_integrates_toward_x0():
+    """Review finding r5: the backward drift b(t,x) = (c - x)/t is the ideal
+    bridge drift toward x0 = c. ipf_resample_pairs(reverse=True) must carry
+    x1 to (near) c — the old 1->0 grid stepped x += b*dt with dt < 0 and
+    diverged AWAY from c."""
+    from cfm_tpu.variants import ipf_resample_pairs
+
+    c = jnp.array([2.0, -1.0])
+
+    def b_apply(params, t, x):
+        tt = jnp.clip(t[:, None], 1e-3, 1.0)
+        return (c - x) / tt
+
+    x1 = jnp.ones((64, 2)) * 10.0
+    x0p, x1_back = ipf_resample_pairs(
+        jax.random.PRNGKey(0), b_apply, None, x1,
+        schedule=ConstantNoiseScheduler(1e-4), n_steps=100, reverse=True,
+    )
+    np.testing.assert_array_equal(np.asarray(x1_back), np.asarray(x1))
+    err = float(jnp.max(jnp.abs(x0p - c)))
+    assert err < 0.1, err      # lands on the x0 marginal, not at ~11x it
+
+
+def test_straightness_rank3_states():
+    """straightness broadcasts correctly for any state rank (review finding
+    r5: rank-3 states hit a hardcoded rank-5 reshape and silently produced a
+    cross-time-pair mean)."""
+    from cfm_tpu.variants import straightness
+
+    class Const:
+        def apply(self, params, t, x):
+            return jnp.ones_like(x)       # constant field -> perfectly straight
+
+    s = float(straightness(Const().apply, None, jax.random.PRNGKey(0),
+                           jnp.zeros((8, 3, 5)), n_steps=6))
+    np.testing.assert_allclose(s, 0.0, atol=1e-10)
+
+
+def test_spline_shared_broadcast_and_mispair_guard():
+    """A shared spline (leading dim 1 or absent) broadcasts over a time
+    vector; a mismatched leading dim raises instead of silently mispairing
+    (review finding r5)."""
+    ts = jnp.linspace(0, 3, 7)
+    ys = jnp.stack([ts**2, jnp.sin(ts)], -1)[None]     # (1, 7, 2)
+    sp = fit_natural_cubic_spline(ts, ys)
+    tq = jnp.array([0.5, 1.5, 2.5])
+    vals = sp.evaluate(tq)                             # broadcasts the one spline
+    assert vals.shape == (3, 2)
+    each = jnp.stack([sp.evaluate(t_)[0] for t_ in tq])
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(each), atol=1e-6)
+
+    batched = fit_natural_cubic_spline(ts, jnp.broadcast_to(ys, (2, 7, 2)))
+    with pytest.raises(ValueError, match="does not match"):
+        batched.evaluate(tq)                           # 3 times vs 2 splines
