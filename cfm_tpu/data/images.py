@@ -134,6 +134,11 @@ def infinite_batches(
     ``infiniteloop``, utils_cifar.py:85-88) yielding uint8 numpy batches."""
     rng = np.random.default_rng(seed)
     n = data.shape[0]
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size {batch_size} exceeds dataset size {n} — the "
+            "drop-last batching below would loop forever yielding nothing"
+        )
     while True:
         perm = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):

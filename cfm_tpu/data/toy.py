@@ -76,21 +76,33 @@ def moons(key: Array, n: int, noise: float = 0.05) -> Array:
 
 
 def sample_moons(key: Array, n: int, noise: float = 0.2) -> Array:
-    """Reference scaling: moons * 3 - 1 (torchcfm/utils.py:34-38)."""
+    """Reference scaling: moons * 3 - 1 (torchcfm/utils.py:34-38).
+
+    Noise calibration note: ``noise`` here is the OUTPUT-space gaussian std
+    (0.2 default). torchcfm feeds torchdyn ``generate_moons(noise=0.2)`` at
+    UNIT scale before the x3, i.e. output std 0.6; the committed W2 band
+    oracle (tools/gen_moons_band.py) uses unit-scale 0.1 -> output 0.3.
+    Both deviations are pinned by the committed band fixtures/tables (like
+    the ``eight_gaussians`` radius note above) — regenerating the band and
+    this default together is the path to strict torchcfm noise parity.
+    """
     return moons(key, n, noise=noise / 3.0) * 3.0 - 1.0
 
 
 def pinwheel(key: Array, n: int, n_arms: int = 5) -> Array:
-    """Pinwheel of rotated Gaussian blades (generators2d.py pinwheel)."""
+    """Pinwheel of rotated Gaussian blades (two_dim.py:50-68 pinwheel —
+    radial/tangential stds 0.3/0.1, rate 0.25, row-vector rotation f @ R
+    [the arms curl clockwise; a column-vector rotation mirrors them],
+    scale 7.5)."""
     k1, k2 = jax.random.split(key)
     rate = 0.25
     arm = jax.random.randint(k1, (n,), 0, n_arms)
-    feats = jax.random.normal(k2, (n, 2)) * jnp.array([0.3, 0.05]) + jnp.array([1.0, 0.0])
+    feats = jax.random.normal(k2, (n, 2)) * jnp.array([0.3, 0.1]) + jnp.array([1.0, 0.0])
     angles = arm * (2 * math.pi / n_arms) + rate * jnp.exp(feats[:, 0])
     c, s = jnp.cos(angles), jnp.sin(angles)
-    x = c * feats[:, 0] - s * feats[:, 1]
-    y = s * feats[:, 0] + c * feats[:, 1]
-    return 2.0 * jnp.stack([x, y], axis=-1)
+    x = c * feats[:, 0] + s * feats[:, 1]
+    y = -s * feats[:, 0] + c * feats[:, 1]
+    return 7.5 * jnp.stack([x, y], axis=-1)
 
 
 def checkerboard(key: Array, n: int, scale: float = 4.0) -> Array:

@@ -39,9 +39,14 @@ def sample_segment_pairs(
     ti_next == leaveout increment).
     """
     bs, T = X.shape[0], X.shape[1]
-    if training and 0 < leaveout_timepoint < T - 1:
+    if training and 0 < leaveout_timepoint < T:
         # Draw from T-2 options, skipping segments that would *start* at the
-        # left-out timepoint.
+        # left-out timepoint. For leaveout == T-1 (the LAST timepoint) the
+        # shift below never fires and the support is 0..T-3 — the final
+        # segment (which ends at the held-out marginal) is never drawn,
+        # exactly the reference's randint(times-2) behavior
+        # (cfm_module.py:167-171); the old < T-1 guard silently trained on
+        # the held-out last timepoint.
         t_sel = jax.random.randint(key, (bs,), 0, T - 2)
         t_sel = jnp.where(t_sel >= leaveout_timepoint, t_sel + 1, t_sel)
         t_next = t_sel + 1
@@ -215,6 +220,8 @@ def make_joint_plan_sampler(
 
     segs = {}
     for t in range(T - 1):
+        if t + 1 == leaveout_timepoint and leaveout_timepoint == T - 1:
+            continue  # last-timepoint holdout: no straddle target exists
         if t + 1 == leaveout_timepoint and 0 < leaveout_timepoint < T - 1:
             if straddle_plans is None:
                 raise ValueError(
@@ -247,7 +254,7 @@ def make_joint_plan_sampler(
 
     def sample(key: Array, batch_size: int):
         k_t, k_i, k_u = jax.random.split(key, 3)
-        if 0 < leaveout_timepoint < T - 1:
+        if 0 < leaveout_timepoint < T:
             t_sel = jax.random.randint(k_t, (batch_size,), 0, T - 2)
             t_sel = jnp.where(t_sel >= leaveout_timepoint, t_sel + 1, t_sel)
         else:

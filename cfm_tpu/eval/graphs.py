@@ -50,18 +50,57 @@ def compare_graphs_bayesian_shd(
     return shd, tshd
 
 
+def graph_shd(W_true: np.ndarray, W_est: np.ndarray) -> int:
+    """Graph-aware structural Hamming distance (evaluation.py:195-207):
+    extra + missing undirected edges plus reversed directed edges — a
+    reversed edge counts ONE, not one-missing-plus-one-extra."""
+    W_true = np.asarray(W_true)
+    W_est = np.asarray(W_est)
+    pred = np.flatnonzero(W_est != 0)
+    cond = np.flatnonzero(W_true)
+    cond_reversed = np.flatnonzero(W_true.T)
+    extra = np.setdiff1d(pred, cond, assume_unique=True)
+    reverse = np.intersect1d(extra, cond_reversed, assume_unique=True)
+    pred_lower = np.flatnonzero(np.tril(W_est + W_est.T))
+    cond_lower = np.flatnonzero(np.tril(W_true + W_true.T))
+    extra_lower = np.setdiff1d(pred_lower, cond_lower, assume_unique=True)
+    missing_lower = np.setdiff1d(cond_lower, pred_lower, assume_unique=True)
+    return int(len(extra_lower) + len(missing_lower) + len(reverse))
+
+
 def compare_graphs(true_graph: np.ndarray, estimated_graph: np.ndarray) -> dict:
-    """Edge-level AP / ROC-AUC + SHD for one estimated adjacency
-    (evaluation.py ``compare_graphs``)."""
+    """Full single-graph metric dict (evaluation.py:185-255): tpr/fdr/f1/
+    specificity from the binarized adjacencies, graph-aware SHD (reversed
+    edges count one) + thresholded SHD, AUC/AP over the full clamped
+    matrix. Deidentified rows (negative first column) are clamped to 0
+    exactly like the reference's ``np.maximum(0, true_graph)``. ``auroc``
+    is kept as an alias of ``auc`` for earlier callers."""
     from sklearn.metrics import average_precision_score, roc_auc_score
 
-    t, e = _fold_deidentified(true_graph, estimated_graph)
-    y_true = (t.flatten() > 0).astype(int)
-    y_score = e.flatten()
-    out = {"shd": float(np.sum(np.abs(t - (e > 0.5).astype(float))))}
-    if 0 < y_true.sum() < len(y_true):
-        out["ap"] = float(average_precision_score(y_true, y_score))
-        out["auroc"] = float(roc_auc_score(y_true, y_score))
+    t = np.maximum(0, np.asarray(true_graph, float))
+    e = np.asarray(estimated_graph, float)
+    tam = (t != 0.0).astype(float)
+    eam = (e != 0.0).astype(float)
+    num_edges = int(tam.sum())
+    tp = int(((tam + eam) == 2).sum())
+    fp = int(((tam - eam) < 0).sum())
+    tn = int(((tam + eam) == 0).sum())
+    fn = num_edges - tp
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    tpr = tp / (tp + fn) if tp + fn else 0.0
+    specificity = tn / (tn + fp) if tn + fp else 0.0
+    f1 = 2 * precision * tpr / (precision + tpr) if precision + tpr else 0.0
+    fdr = fp / (fp + tp) if fp + tp else 0.0
+    out = {
+        "tpr": tpr, "fdr": fdr, "f1": f1, "specificity": specificity,
+        "shd": float(graph_shd(t, e)),
+        "tshd": float(graph_shd(t, (e > 0.5).astype(float))),
+    }
+    y_true = tam.flatten()
+    if 0 < y_true.sum() < y_true.size:
+        out["auc"] = float(roc_auc_score(y_true, e.flatten()))
+        out["ap"] = float(average_precision_score(y_true, e.flatten()))
+        out["auroc"] = out["auc"]
     return out
 
 

@@ -78,7 +78,11 @@ def interpolate_per_point_with_ot(
 ) -> Array:
     """Per-point interpolation: each x0_i draws its partner j from its
     normalized plan row (emd.py:108-155)."""
-    assert p0.shape[0] == p1.shape[0] == tmap.shape[0]
+    assert p0.shape[0] == tmap.shape[0], (p0.shape, tmap.shape)
+    # p1 is indexed by COLUMN j of the plan (reference emd.py validates
+    # p1.shape[0] == tmap.shape[1]); JAX would clamp out-of-bounds gathers
+    # silently, so check the correct axis loudly.
+    assert p1.shape[0] == tmap.shape[1], (p1.shape, tmap.shape)
     I = p0.shape[0]
     rows = tmap / jnp.maximum(jnp.sum(tmap, axis=1, keepdims=True), 1e-30)
     cdf = jnp.cumsum(rows, axis=1)

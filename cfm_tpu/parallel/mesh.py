@@ -120,11 +120,25 @@ def local_coupling_step(train_step, mesh: Mesh, axis: str = "data"):
     XLA all-gathers the batch and replicates the solve. This wrapper instead
     couples within each device's local sub-batch — the reference DDP's
     semantics exactly (each rank couples its local minibatch,
-    train_cifar10_ddp.py:156-171) — and psums gradients across shards.
-    Trades coupling quality for zero gather traffic; at global batch 128 on
-    8 chips each shard couples 16 samples.
+    train_cifar10_ddp.py:156-171). Trades coupling quality for zero gather
+    traffic; at global batch 128 on 8 chips each shard couples 16 samples.
+
+    The gradient reduction lives INSIDE the wrapped step: ``train_step``
+    MUST be built with ``make_train_step(..., data_axis=axis)`` (that is
+    what inserts the pmean) — this wrapper only shards batches and
+    decorrelates keys, and rejects a step tagged with a different (or no)
+    data_axis rather than letting per-device params silently diverge.
     """
     from jax import shard_map
+
+    tagged = getattr(train_step, "_data_axis", "<untagged>")
+    if tagged != axis:
+        raise ValueError(
+            f"local_coupling_step(axis={axis!r}) needs a step built with "
+            f"make_train_step(..., data_axis={axis!r}); got data_axis="
+            f"{tagged!r} — without the in-step pmean every shard would "
+            "apply only its local gradients and params would drift apart"
+        )
 
     P = PartitionSpec
 

@@ -133,6 +133,17 @@ class Categorical:
     options: tuple
 
     def __init__(self, *options):
+        for o in options:
+            if isinstance(o, str) and "," in o:
+                # Sampled values round-trip through run_sweep's comma-grid
+                # expansion; a comma inside an option would be silently
+                # re-split into multiple runs and only the first kept, so
+                # the TPE history would record values that never ran.
+                raise ValueError(
+                    f"Categorical option {o!r} contains a comma — commas are"
+                    " the sweep grid separator; encode lists differently"
+                    " (e.g. '64x64')"
+                )
         object.__setattr__(self, "options", tuple(options))
 
 

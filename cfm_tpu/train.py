@@ -185,6 +185,9 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    # Tag for shard_map wrappers (parallel.mesh.local_coupling_step) to
+    # verify the gradient pmean is actually inside the step they shard.
+    train_step._data_axis = data_axis
     return train_step
 
 
@@ -418,8 +421,9 @@ def make_data_parallel_sample_fn(
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> jax.sharding.Mesh:
-    """1-D device mesh over all (or the first n) local devices."""
-    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
-    import numpy as np
+    """1-D device mesh — delegates to the one canonical implementation
+    (parallel.mesh.make_mesh) so device-ordering fixes apply everywhere."""
+    from .parallel.mesh import make_mesh as _mm
 
-    return jax.sharding.Mesh(np.array(devs), (axis,))
+    devs = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    return _mm(axis_names=(axis,), devices=devs)

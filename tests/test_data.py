@@ -292,3 +292,62 @@ def test_load_h5ad_joint_plans_roundtrip(tmp_path):
     state, metrics = step(state, jax.random.PRNGKey(4), x0, x1)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_leaveout_last_timepoint_never_sampled():
+    """Holding out the LAST timepoint must exclude the final segment (the
+    reference's randint(times-2) support, cfm_module.py:167-171); the old
+    guard silently trained on the held-out marginal (review finding r5)."""
+    X = jnp.arange(5)[None, :, None] * jnp.ones((512, 1, 1))
+    x0, x1, tsel = sample_segment_pairs(
+        jax.random.PRNGKey(0), X, leaveout_timepoint=4, training=True
+    )
+    ts = set(np.asarray(tsel).tolist())
+    assert ts <= {0, 1, 2} and 3 not in ts       # segment 3 ends at t=4
+    assert float(jnp.max(x1)) <= 3.0             # never touches X[:, 4]
+    # And the straddle-halving never fires for these genuine 1-step pairs.
+    from cfm_tpu.data.trajectory import leaveout_adjusted_targets
+
+    ut, t = leaveout_adjusted_targets(
+        jnp.ones((512, 1)), jnp.full((512,), 0.25), tsel, leaveout_timepoint=4
+    )
+    np.testing.assert_allclose(np.asarray(ut), 1.0)
+
+
+def test_joint_plan_sampler_leaveout_last():
+    from cfm_tpu.data.trajectory import make_joint_plan_sampler
+
+    rng = np.random.default_rng(3)
+    T, n = 4, 6
+    marginals = [rng.normal(size=(n, 2)).astype(np.float32) for _ in range(T)]
+    plans = [_perm_plan(n, np.arange(n))] * (T - 1)
+    sample = make_joint_plan_sampler(marginals, plans, leaveout_timepoint=T - 1)
+    _, x1, t_sel = sample(jax.random.PRNGKey(0), 256)
+    assert set(np.asarray(t_sel).tolist()) <= {0, 1}
+    # x1 rows never come from the held-out last marginal.
+    d_last = np.linalg.norm(
+        marginals[T - 1][None, :, :] - np.asarray(x1)[:, None, :], axis=2
+    ).min()
+    assert d_last > 1e-3
+
+
+def test_pinwheel_matches_reference_oracle():
+    """Pinwheel parity vs an inline numpy re-implementation of the reference
+    (two_dim.py:50-68): same stds/rate/scale AND the same rotation direction
+    — the mirrored (column-vector) rotation moves exact-assignment W2 far
+    from zero (review finding r5)."""
+    from cfm_tpu.coupling import wasserstein
+
+    n = 1500
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((n, 2)) * np.array([0.3, 0.1]) + np.array([1.0, 0.0])
+    labels = rng.integers(0, 5, n)
+    angles = labels * (2 * np.pi / 5) + 0.25 * np.exp(feats[:, 0])
+    c, s = np.cos(angles), np.sin(angles)
+    ref = 7.5 * np.stack([c * feats[:, 0] + s * feats[:, 1],
+                          -s * feats[:, 0] + c * feats[:, 1]], -1).astype(np.float32)
+    ours = np.asarray(two_dim_data("pinwheel")(jax.random.PRNGKey(0), n))
+    mirror = ours * np.array([1.0, -1.0], np.float32)
+    w_ref = float(wasserstein(jnp.asarray(ours), jnp.asarray(ref), power=2))
+    w_mir = float(wasserstein(jnp.asarray(mirror), jnp.asarray(ref), power=2))
+    assert w_ref < 1.0 < w_mir, (w_ref, w_mir)   # right chirality, right scale

@@ -283,3 +283,23 @@ def test_bayesian_diversity_and_sparsity():
     assert compute_graphs_bayesian_diversity(same, seed=1) == 0.0
     assert compute_graphs_sparsity(np.zeros((4, 5, 5))) == 1.0
     assert compute_graphs_sparsity(np.ones((4, 5, 5))) == 0.0
+
+
+def test_compare_graphs_reference_formulas():
+    """Parity with evaluation.py:185-255 (review finding r5): a reversed
+    edge costs SHD 1 (not 2), and the confusion-matrix metrics match
+    hand-computed values."""
+    true = np.array([[0, 1], [0, 0]])
+    reversed_est = np.array([[0, 0], [1, 0]])       # only the reversed edge
+    m = compare_graphs(true, reversed_est)
+    assert m["shd"] == 1.0                           # old elementwise SHD said 2
+    assert m["tpr"] == 0.0 and m["fdr"] == 1.0
+    exact = compare_graphs(true, true.astype(float))
+    assert exact["shd"] == 0.0 and exact["tpr"] == 1.0 and exact["f1"] == 1.0
+    # Extra + missing still count one each.
+    est = np.array([[1, 0], [0, 0]])                 # 1 extra (0,0), 1 missing
+    assert compare_graphs(true, est)["shd"] == 2.0
+    # Deidentified rows clamp to zero like the reference's np.maximum.
+    true_neg = np.array([[0, 1, 0], [0, 0, 0], [-1, 0, 0]])
+    m3 = compare_graphs(true_neg, np.zeros((3, 3)))
+    assert m3["shd"] == 1.0                          # just the (0,1) edge missing

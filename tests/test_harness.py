@@ -796,3 +796,13 @@ def test_data_parallel_rejects_indivisible_batch(tmp_path):
     trainer = Trainer(cfg, log_dir=str(tmp_path / "logs"))
     with pytest.raises(AssertionError, match="must divide"):
         trainer.fit()
+
+
+def test_categorical_rejects_comma_options():
+    """Commas are the sweep grid separator; a Categorical option containing
+    one would be silently re-split by run_sweep (review finding r5)."""
+    from cfm_tpu.sweep import Categorical
+
+    with pytest.raises(ValueError, match="comma"):
+        Categorical("64,64", "128,128")
+    assert Categorical("64x64").options == ("64x64",)
